@@ -192,3 +192,33 @@ def decrypt_ggsw(
 ) -> jnp.ndarray:
     """Decrypt the message polynomial from the last GGSW row, column 0."""
     return decrypt_glev_at(ct[glwe.size], sk, glwe, radix, 0)
+
+
+# --------------------------------------------------------------------------
+# RLWE public-key encryption (SEAL-style "double-LWE" trick)
+# --------------------------------------------------------------------------
+
+
+def rlwe_generate_public_key(key, sk: jnp.ndarray, glwe: GlweDef) -> jnp.ndarray:
+    """RLWE public key = secret-key encryption of the zero polynomial;
+    requires k == 1 (`rlwe_encryption.rs:47-60`). Returns u64 [2, N]."""
+    assert glwe.size == 1
+    zero = jnp.zeros((glwe.degree,), dtype=U64)
+    return encrypt_glwe(key, zero, sk, glwe)
+
+
+def rlwe_encrypt_public(
+    key, msg_torus_poly, public_key: jnp.ndarray, glwe: GlweDef
+) -> jnp.ndarray:
+    """Public-key encryption (`rlwe_encryption.rs:88-130`): with
+    `(p0, p1) = public_key`, sample binary `u` and Gaussian `e0, e1`;
+    ct = (p0 ⊛ u + e0, m + p1 ⊛ u + e1)."""
+    assert glwe.size == 1
+    k_u, k_e0, k_e1 = jax.random.split(key, 3)
+    u = rng.binary(k_u, (glwe.degree,))
+    e0 = rng.normal_torus(k_e0, glwe.std, (glwe.degree,))
+    e1 = rng.normal_torus(k_e1, glwe.std, (glwe.degree,))
+    p0, p1 = public_key[0], public_key[1]
+    a = negacyclic_mul_exact(p0, u) + e0
+    b = u64(msg_torus_poly) + negacyclic_mul_exact(p1, u) + e1
+    return jnp.stack([a, b], axis=0)

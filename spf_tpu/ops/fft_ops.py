@@ -156,11 +156,11 @@ def scheme_switch_fft(
                 + Σ_r <decomp(a_r^{(i)}), SSK_glev[j,r]> (adds a_r·s_j·s_r)
     For row k, level i: y = fft(x_i).
 
-    glev:    u64 [l_ggsw, k+1, N]
+    glev:    u64 [..., l_ggsw, k+1, N]
     ssk_fft: freq [k, k, l_ss, k+1, N/2], symmetric in first two axes
              (the reference stores only i<=j triangular pairs;
              `entities/scheme_switch_key.rs`, `iteration/triangular_pairs.rs`)
-    returns: freq GGSW [k+1, l_ggsw, k+1, N/2]
+    returns: freq GGSW [..., k+1, l_ggsw, k+1, N/2]
     """
     k = glwe_def.size
     kp1 = k + 1
@@ -168,28 +168,28 @@ def scheme_switch_fft(
     glev = u64(glev)
     l_ggsw = radix_ggsw.count
 
-    a = glev[:, :-1, :]  # [l_ggsw, k, N]
-    b = glev[:, -1, :]  # [l_ggsw, N]
-    b_fft = be.fwd_torus(b)  # [l_ggsw, N/2]
+    a = glev[..., :-1, :]  # [..., l_ggsw, k, N]
+    b = glev[..., -1, :]  # [..., l_ggsw, N]
+    b_fft = be.fwd_torus(b)  # [..., l_ggsw, N/2]
 
-    # decompose all mask polys once: [l_ss, l_ggsw, k, N]
+    # decompose all mask polys once: [l_ss, ..., l_ggsw, k, N]
     digits = decompose(a, radix_ss)
     digit_fft = be.fwd_signed(digits)
 
     rows = []
     for j in range(k):
-        acc = be.zeros((l_ggsw, kp1, n2))
+        acc = be.zeros((*glev.shape[:-2], kp1, n2))
         # mask position j := fft(b) (encrypts -b*s_j;
         # `update_encrypted_secret_key_component_fft`, fft_ops.rs:225-242)
         acc = _set_component(acc, j, b_fft, be)
         for r in range(k):
             for jj in range(radix_ss.count):
-                d = digit_fft[jj, :, r, None, :]  # [l_ggsw, 1, N/2]
+                d = digit_fft[jj, ..., :, r, None, :]  # [..., l_ggsw, 1, N/2]
                 g = ssk_fft[j, r, jj]  # [k+1, N/2]
                 acc = be.cmadd(acc, d, g)
         rows.append(acc)
     rows.append(be.fwd_torus(glev))  # row k: plain FFT of each x_i
-    return be.stack(rows, axis=0)
+    return be.stack(rows, axis=-4)
 
 
 def _set_component(acc, idx: int, value, be):
