@@ -1,0 +1,9 @@
+"""Multi-chip scaling: ciphertext-batch sharding over a TPU mesh."""
+
+from .mesh import (  # noqa: F401
+    make_mesh,
+    replicate,
+    shard_batch,
+    sharded_cbs,
+    sharded_pbs,
+)

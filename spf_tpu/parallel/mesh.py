@@ -1,0 +1,83 @@
+"""Ciphertext-batch parallelism over a `jax.sharding.Mesh`.
+
+The reference has no distributed layer (rayon threads only; SURVEY
+§2.7) — this is the TPU-native multi-chip story:
+
+- the `batch` axis of ciphertext batches is sharded across chips,
+- evaluation keys (BSK/KSK/ASK/SSK) are broadcast-replicated — they are
+  read-only constants that fit in HBM (~100s of MB; `keys.rs:144-146`),
+- bootstraps/CBS are embarrassingly parallel along the batch, so no
+  collectives cross chips on the hot path; ICI is only touched by the
+  initial key broadcast and any final gathers.
+
+This layout is the throughput-optimal one for TFHE gate evaluation:
+each chip keeps its FFTs local (N <= 2048 never merits sharding a
+single transform) and scales linearly in batch.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import bootstrap as bs
+from ..ops import cbs as cbs_ops
+from ..ops.fft import C128
+from ..params import Params
+
+
+def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    """A 1-D mesh over the `batch` axis."""
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), axis_names=("batch",))
+
+
+def shard_batch(x, mesh: Mesh):
+    """Shard the leading axis of every array in pytree `x` across the
+    mesh."""
+
+    def put(leaf):
+        spec = P("batch", *([None] * (leaf.ndim - 1)))
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(put, x)
+
+
+def replicate(x, mesh: Mesh):
+    """Replicate a pytree (evaluation keys) on every device."""
+
+    def put(leaf):
+        return jax.device_put(leaf, NamedSharding(mesh, P()))
+
+    return jax.tree_util.tree_map(put, x)
+
+
+def sharded_pbs(params: Params, bsk_fft, mesh: Mesh, lut_glwe, be=C128):
+    """Return a jitted batched-PBS step whose batch axis is sharded over
+    `mesh` and whose keys are replicated. Input: LWE batch
+    [B, n0+1]; output: LWE batch under the extracted key."""
+    glwe = params.l1_params
+
+    def step(cts):
+        return bs.programmable_bootstrap_univariate(
+            cts, lut_glwe, bsk_fft, params.l0_params, glwe, params.pbs_radix, be
+        )
+
+    batch_spec = NamedSharding(mesh, P("batch", None))
+    return jax.jit(step, in_shardings=batch_spec, out_shardings=batch_spec)
+
+
+def sharded_cbs(params: Params, compute_key, mesh: Mesh, be=C128):
+    """Jitted batched circuit-bootstrap step, batch-sharded."""
+
+    def step(cts):
+        return cbs_ops.circuit_bootstrap(
+            cts, compute_key.bsk, compute_key.auto_keys, compute_key.ssk, params, be
+        )
+
+    batch_spec = NamedSharding(mesh, P("batch", None))
+    return jax.jit(step, in_shardings=batch_spec)

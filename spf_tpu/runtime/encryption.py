@@ -96,6 +96,41 @@ class Encryption:
         )
         return ggsw_to_fft(ggsw, be)
 
+    # --- integers as per-bit GLWE ciphertexts ---
+
+    def encrypt_uint_bits(self, key, value: int, n: int, sk: SecretKey) -> list:
+        """Encrypt an n-bit integer as n GLWE bit ciphertexts, LSB-first
+        (how `GenericInt` stores its bits)."""
+        import jax
+
+        keys = jax.random.split(key, n)
+        n_deg = self.params.l1_params.degree
+        cts = []
+        for i in range(n):
+            bit = (value >> i) & 1
+            poly = jnp.zeros((n_deg,), dtype=jnp.uint64).at[0].set(bit)
+            cts.append(self.encrypt_glwe_l1(keys[i], poly, sk))
+        return cts
+
+    def decrypt_uint_bits(self, cts: list, sk: SecretKey) -> int:
+        value = 0
+        for i, ct in enumerate(cts):
+            value |= int(self.decrypt_glwe_l1(ct, sk)[0]) << i
+        return value
+
+    def encrypt_packed_uint(self, key, value: int, n: int, pk: PublicKey) -> jnp.ndarray:
+        """Encrypt an n-bit integer into one GLWE (bit i in coefficient
+        i) under the RLWE public key (≙ `PackedGenericInt::encrypt`)."""
+        n_deg = self.params.l1_params.degree
+        bits = jnp.asarray(
+            [(value >> i) & 1 for i in range(n)] + [0] * (n_deg - n), dtype=jnp.uint64
+        )
+        return self.encrypt_packed_public(key, bits, pk)
+
+    def decrypt_packed_uint(self, ct, n: int, sk: SecretKey) -> int:
+        bits = self.decrypt_glwe_l1(ct, sk)
+        return sum(int(bits[i]) << i for i in range(n))
+
     # --- RLWE public-key packed encryption ---
 
     def encrypt_packed_public(self, key, bits_poly, pk: PublicKey) -> jnp.ndarray:

@@ -1,0 +1,171 @@
+"""Level-synchronous batched circuit executor.
+
+This replaces the reference's `CircuitProcessor` (rayon task-per-gate
+dataflow engine, `circuit_processor/mod.rs:62-656`) with the TPU-native
+inversion: the circuit is levelized once (host side), every level's
+gates are grouped by op kind, and each group executes as ONE batched
+kernel call. XLA is the scheduler; `jit` compiles the whole circuit into
+a single program.
+
+`CircuitExecutor.compile` returns a jittable function from input
+ciphertexts to output ciphertexts.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .evaluation import Evaluation
+from .fhe_circuit import CircuitError, CtType, FheCircuit, FheEdge, FheOp, OUTPUT_TYPE
+
+
+def _role(ins, role):
+    for src, r in ins:
+        if r == role:
+            return src
+    raise CircuitError(f"missing {role} input")
+
+
+class CircuitExecutor:
+    def __init__(self, ev: Evaluation):
+        self.ev = ev
+        self.be = ev.be
+
+    # --- constants ---
+
+    def _const(self, op: FheOp):
+        ev = self.ev
+        enc = ev.enc
+        n = ev.params.l1_params.degree
+        if op == FheOp.ZERO_LWE0:
+            return enc.trivial_lwe_l0(0)
+        if op == FheOp.ONE_LWE0:
+            return enc.trivial_lwe_l0(1)
+        if op == FheOp.ZERO_GLWE1:
+            return enc.trivial_glwe_l1_zero()
+        if op == FheOp.ONE_GLWE1:
+            return enc.trivial_glwe_l1_one()
+        if op == FheOp.ZERO_GGSW1:
+            return ev.ggsw_zero
+        if op == FheOp.ONE_GGSW1:
+            return ev.ggsw_one
+        if op == FheOp.ZERO_GLEV1:
+            return enc.trivial_glev_l1(jnp.zeros((n,), dtype=jnp.uint64))
+        if op == FheOp.ONE_GLEV1:
+            return enc.trivial_glev_l1(jnp.zeros((n,), dtype=jnp.uint64).at[0].set(1))
+        raise CircuitError(f"not a constant: {op}")
+
+    # --- execution ---
+
+    def run(self, circuit: FheCircuit, inputs: dict) -> dict:
+        """Execute a (validated) circuit. `inputs` maps the `param` key
+        of each INPUT_* node to its ciphertext. Returns {output param
+        key: ciphertext}. Jit-safe: wrap in jax.jit via `compile`."""
+        circuit.validate()
+        levels = circuit.levelize()
+        preds: dict[int, list] = {}
+        for s, d, r in circuit.edges:
+            preds.setdefault(d, []).append((s, r))
+
+        values: dict[int, object] = {}
+        outputs: dict[object, object] = {}
+
+        for level in levels:
+            # group same-kind gates into one batched call
+            groups: dict[tuple, list[int]] = {}
+            for node_id in level:
+                node = circuit.nodes[node_id]
+                groups.setdefault((node.op, node.param), []).append(node_id)
+            for (op, param), node_ids in groups.items():
+                self._exec_group(circuit, op, param, node_ids, preds, values, inputs, outputs)
+        return outputs
+
+    def compile(self, circuit: FheCircuit):
+        """Return fn(inputs_dict) -> outputs_dict suitable for jax.jit."""
+        circuit.validate()
+
+        def fn(inputs):
+            return self.run(circuit, inputs)
+
+        return fn
+
+    def _exec_group(self, circuit, op, param, node_ids, preds, values, inputs, outputs):
+        ev = self.ev
+        be = self.be
+
+        def gather(role, freq=False):
+            srcs = [_role(preds.get(i, []), role) for i in node_ids]
+            vals = [values[s] for s in srcs]
+            if len(vals) == 1:
+                return vals[0], False
+            if freq:
+                return be.stack(vals, axis=0), True
+            return jnp.stack(vals, axis=0), True
+
+        def scatter(result, batched):
+            if not batched:
+                values[node_ids[0]] = result
+                return
+            for i, node_id in enumerate(node_ids):
+                values[node_id] = result[i]
+
+        if op.value.startswith("input_"):
+            for node_id in node_ids:
+                key = circuit.nodes[node_id].param
+                if key not in inputs:
+                    raise CircuitError(f"missing input {key!r}")
+                values[node_id] = inputs[key]
+        elif op.value.startswith("output_"):
+            for node_id in node_ids:
+                src = _role(preds.get(node_id, []), FheEdge.UNARY)
+                outputs[circuit.nodes[node_id].param] = values[src]
+        elif op in (FheOp.RETIRE, FheOp.NOP):
+            for node_id in node_ids:
+                ins = preds.get(node_id, [])
+                values[node_id] = values[ins[0][0]] if ins else None
+        elif op.value.startswith(("zero_", "one_")):
+            const = self._const(op)
+            for node_id in node_ids:
+                values[node_id] = const
+        elif op == FheOp.NOT:
+            x, b = gather(FheEdge.UNARY)
+            scatter(ev.not_(x), b)
+        elif op == FheOp.GLWE_ADD:
+            l, b1 = gather(FheEdge.LEFT)
+            r, b2 = gather(FheEdge.RIGHT)
+            assert b1 == b2
+            scatter(ev.glwe_add(l, r), b1)
+        elif op == FheOp.CMUX:
+            sel, bs = gather(FheEdge.SEL, freq=True)
+            lo, bl = gather(FheEdge.LOW)
+            hi, bh = gather(FheEdge.HIGH)
+            assert bs == bl == bh
+            scatter(ev.cmux(sel, lo, hi), bs)
+        elif op == FheOp.GLEV_CMUX:
+            sel, bs = gather(FheEdge.SEL, freq=True)
+            lo, bl = gather(FheEdge.LOW)
+            hi, bh = gather(FheEdge.HIGH)
+            assert bs == bl == bh
+            scatter(ev.glev_cmux(sel, lo, hi), bs)
+        elif op == FheOp.MULTIPLY_GGSW_GLWE:
+            glwe, b1 = gather(FheEdge.GLWE)
+            ggsw, b2 = gather(FheEdge.GGSW, freq=True)
+            assert b1 == b2
+            scatter(ev.multiply_glwe_ggsw(glwe, ggsw), b1)
+        elif op == FheOp.SAMPLE_EXTRACT:
+            x, b = gather(FheEdge.UNARY)
+            scatter(ev.sample_extract(x, param or 0), b)
+        elif op == FheOp.KEYSWITCH_L1_L0:
+            x, b = gather(FheEdge.UNARY)
+            scatter(ev.keyswitch_lwe_l1_to_l0(x), b)
+        elif op == FheOp.CIRCUIT_BOOTSTRAP:
+            x, b = gather(FheEdge.UNARY)
+            scatter(ev.circuit_bootstrap(x), b)
+        elif op == FheOp.SCHEME_SWITCH:
+            x, b = gather(FheEdge.UNARY)
+            scatter(ev.scheme_switch(x), b)
+        elif op == FheOp.MUL_XN:
+            x, b = gather(FheEdge.UNARY)
+            scatter(ev.mul_xn(x, param or 0), b)
+        else:
+            raise CircuitError(f"unhandled op {op}")

@@ -1,0 +1,320 @@
+"""Fluent typed-integer circuit builder.
+
+(≙ reference `parasol_runtime/src/fluent/` — `FheCircuitCtx`, `BitNode`,
+`GenericInt`/`DynamicGenericInt`, `PackedGenericInt` — and
+`parasol_runtime/src/circuits/{add,mul}.rs`.)
+
+Integers are little-endian lists of graph nodes. Encrypted ints arrive
+as L1 GLWE bit ciphertexts (one bit per ciphertext, coefficient 0) or
+packed (N bits in one GLWE's coefficients). Arithmetic converts operand
+bits through the conversion cycle to GGSW form (SampleExtract ->
+Keyswitch -> CircuitBootstrap) and grafts the corresponding mux circuit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from ..circuits import integer as int_circuits
+from .fhe_circuit import CtType, FheCircuit, FheEdge, FheOp
+
+
+class FheCircuitCtx:
+    """Builder context holding the graph (≙ `fluent/mod.rs:50-74`)."""
+
+    def __init__(self):
+        self.circuit = FheCircuit()
+        self._input_count = 0
+        self._output_count = 0
+
+    def new_input_key(self):
+        self._input_count += 1
+        return f"in{self._input_count - 1}"
+
+    def new_output_key(self):
+        self._output_count += 1
+        return f"out{self._output_count - 1}"
+
+
+@dataclasses.dataclass
+class UInt:
+    """An unsigned integer as GLWE-bit graph nodes, LSB-first
+    (≙ `fluent/uint.rs` GenericInt<N, L1GlweCiphertext>)."""
+
+    bits: list  # node ids producing GLWE1 bits
+    ctx: FheCircuitCtx
+    signed: bool = False
+
+    # --- construction ---
+
+    @classmethod
+    def input(cls, ctx: FheCircuitCtx, n: int, signed: bool = False) -> "UInt":
+        """Declare n encrypted input bits (L1 GLWE). Input keys are
+        returned in order via `input_keys`."""
+        bits = []
+        for _ in range(n):
+            key = ctx.new_input_key()
+            bits.append(ctx.circuit.add_node(FheOp.INPUT_GLWE1, key))
+        return cls(bits=bits, ctx=ctx, signed=signed)
+
+    @classmethod
+    def packed_input(cls, ctx: FheCircuitCtx, n: int, signed: bool = False) -> "UInt":
+        """Declare one packed GLWE input carrying n bits in its first n
+        coefficients and unpack it via per-coefficient sample extraction
+        (≙ `packed_dynamic_generic_int_graph_node.rs:24-38`)."""
+        key = ctx.new_input_key()
+        packed = ctx.circuit.add_node(FheOp.INPUT_GLWE1, key)
+        c = ctx.circuit
+        bits = []
+        for i in range(n):
+            ex = c.add_node(FheOp.SAMPLE_EXTRACT, i)
+            c.add_edge(packed, ex, FheEdge.UNARY)
+            # L1 LWE -> L0 -> GGSW -> GLWE bit would reset noise; for
+            # unpacking we only need the GLWE-bit form, so convert via the
+            # cycle on use. Keep the LWE1 node; arithmetic converts onward.
+            bits.append(("lwe1", ex))
+        return cls(bits=bits, ctx=ctx, signed=signed)
+
+    @property
+    def n(self) -> int:
+        return len(self.bits)
+
+    def input_keys(self):
+        c = self.ctx.circuit
+        keys = []
+        for b in self.bits:
+            node = b[1] if isinstance(b, tuple) else b
+            if c.nodes[node].op == FheOp.INPUT_GLWE1:
+                keys.append(c.nodes[node].param)
+        return keys
+
+    # --- conversions ---
+
+    def _bit_type(self, b) -> CtType:
+        if isinstance(b, tuple):
+            return CtType.LWE1
+        return CtType.GLWE1
+
+    def _bit_node(self, b) -> int:
+        return b[1] if isinstance(b, tuple) else b
+
+    def to_ggsw(self) -> list:
+        """Convert every bit to GGSW form through the conversion cycle
+        (≙ `fhe_circuit.rs:473-489` insert_mux_circuit_and_connect_inputs)."""
+        c = self.ctx.circuit
+        out = []
+        for b in self.bits:
+            out.append(
+                c.insert_ciphertext_conversion(
+                    self._bit_node(b), self._bit_type(b), CtType.GGSW1
+                )
+            )
+        return out
+
+    def output(self) -> list:
+        """Emit OUTPUT_GLWE1 nodes for every bit; returns output keys."""
+        c = self.ctx.circuit
+        keys = []
+        for b in self.bits:
+            glwe = c.insert_ciphertext_conversion(
+                self._bit_node(b), self._bit_type(b), CtType.GLWE1
+            )
+            key = self.ctx.new_output_key()
+            o = c.add_node(FheOp.OUTPUT_GLWE1, key)
+            c.add_edge(glwe, o, FheEdge.UNARY)
+            keys.append(key)
+        return keys
+
+    def pack_output(self) -> object:
+        """Pack all bits into one GLWE via MulXN shifts + a GlweAdd
+        reduction tree and emit it
+        (≙ `dynamic_generic_int_graph_nodes.rs:139-205`)."""
+        c = self.ctx.circuit
+        shifted = []
+        for i, b in enumerate(self.bits):
+            glwe = c.insert_ciphertext_conversion(
+                self._bit_node(b), self._bit_type(b), CtType.GLWE1
+            )
+            if i == 0:
+                shifted.append(glwe)
+            else:
+                m = c.add_node(FheOp.MUL_XN, i)
+                c.add_edge(glwe, m, FheEdge.UNARY)
+                shifted.append(m)
+        while len(shifted) > 1:
+            nxt = []
+            for j in range(0, len(shifted) - 1, 2):
+                add = c.add_node(FheOp.GLWE_ADD)
+                c.add_edge(shifted[j], add, FheEdge.LEFT)
+                c.add_edge(shifted[j + 1], add, FheEdge.RIGHT)
+                nxt.append(add)
+            if len(shifted) % 2:
+                nxt.append(shifted[-1])
+            shifted = nxt
+        key = self.ctx.new_output_key()
+        o = c.add_node(FheOp.OUTPUT_GLWE1, key)
+        c.add_edge(shifted[0], o, FheEdge.UNARY)
+        return key
+
+    def resize(self, new_n: int) -> "UInt":
+        """Zero- or sign-extend / truncate (≙ `fluent` resize:106)."""
+        if new_n <= self.n:
+            return UInt(self.bits[:new_n], self.ctx, self.signed)
+        c = self.ctx.circuit
+        if self.signed:
+            ext = [self.bits[-1]] * (new_n - self.n)
+        else:
+            ext = [c.add_node(FheOp.ZERO_GLWE1) for _ in range(new_n - self.n)]
+        return UInt(list(self.bits) + ext, self.ctx, self.signed)
+
+    # --- arithmetic (mux-circuit grafts; ≙ `fluent/...graph_nodes.rs:250-476`) ---
+
+    def _binary_circuit(self, other: "UInt", circuit, num_out) -> list:
+        assert self.n == other.n
+        ggsw = self.to_ggsw() + other.to_ggsw()
+        outs = self.ctx.circuit.insert_mux_circuit(circuit, ggsw)
+        return outs[:num_out] if num_out else outs
+
+    def __add__(self, other: "UInt") -> "UInt":
+        outs = self._binary_circuit(
+            other, int_circuits.ripple_carry_adder(self.n, emit_carry=True), self.n
+        )
+        return UInt(outs, self.ctx, self.signed)
+
+    def __sub__(self, other: "UInt") -> "UInt":
+        outs = self._binary_circuit(
+            other, int_circuits.full_subtractor(self.n, emit_borrow=True), self.n
+        )
+        return UInt(outs, self.ctx, self.signed)
+
+    def __mul__(self, other: "UInt") -> "UInt":
+        """Full-width n x m -> n+m product (unsigned; signed handled by
+        `signed_mul`). Widths above CIRCUIT_CUTOFF use gradeschool
+        decomposition (≙ `mul.rs:259-312`, `circuits/mul.rs:18-76`)."""
+        if max(self.n, other.n) <= int_circuits.CIRCUIT_CUTOFF:
+            ggsw = self.to_ggsw() + other.to_ggsw()
+            outs = self.ctx.circuit.insert_mux_circuit(
+                int_circuits.unsigned_multiplier(self.n, other.n), ggsw
+            )
+            return UInt(outs, self.ctx, False)
+        return self._gradeschool_mul(other)
+
+    def _gradeschool_mul(self, other: "UInt") -> "UInt":
+        lo_n, hi_n = int_circuits.partition_integer(self.n)
+        a_lo = UInt(self.bits[:lo_n], self.ctx)
+        a_hi = UInt(self.bits[lo_n:], self.ctx)
+        lo_m, hi_m = int_circuits.partition_integer(other.n)
+        b_lo = UInt(other.bits[:lo_m], self.ctx)
+        b_hi = UInt(other.bits[lo_m:], self.ctx)
+
+        total = self.n + other.n
+        parts = []
+        ll = a_lo * b_lo
+        parts.append((0, ll))
+        if hi_m:
+            parts.append((lo_m, a_lo * b_hi))
+        if hi_n:
+            parts.append((lo_n, a_hi * b_lo))
+        if hi_n and hi_m:
+            parts.append((lo_n + lo_m, a_hi * b_hi))
+
+        acc = None
+        c = self.ctx.circuit
+        for shift, p in parts:
+            ext = UInt(
+                [c.add_node(FheOp.ZERO_GLWE1) for _ in range(shift)] + list(p.bits),
+                self.ctx,
+            ).resize(total)
+            acc = ext if acc is None else (acc + ext)
+        return acc
+
+    def _cmp(self, other: "UInt", circuit) -> "UInt":
+        outs = self._binary_circuit(other, circuit, 1)
+        return UInt(outs, self.ctx)
+
+    def eq(self, other):
+        return self._cmp(other, int_circuits.compare_equal(self.n))
+
+    def neq(self, other):
+        return self._cmp(other, int_circuits.compare_not_equal(self.n))
+
+    def gt(self, other):
+        return self._cmp(
+            other, int_circuits.compare_or_maybe_equal(self.n, False, self.signed)
+        )
+
+    def ge(self, other):
+        return self._cmp(
+            other, int_circuits.compare_or_maybe_equal(self.n, True, self.signed)
+        )
+
+    def lt(self, other):
+        return other.gt(self)
+
+    def le(self, other):
+        return other.ge(self)
+
+    def __and__(self, other):
+        return UInt(
+            self._binary_circuit(other, int_circuits.bitwise_and(self.n), self.n),
+            self.ctx,
+            self.signed,
+        )
+
+    def __or__(self, other):
+        return UInt(
+            self._binary_circuit(other, int_circuits.bitwise_or(self.n), self.n),
+            self.ctx,
+            self.signed,
+        )
+
+    def __xor__(self, other):
+        return UInt(
+            self._binary_circuit(other, int_circuits.bitwise_xor(self.n), self.n),
+            self.ctx,
+            self.signed,
+        )
+
+    def __neg__(self):
+        ggsw = self.to_ggsw()
+        outs = self.ctx.circuit.insert_mux_circuit(
+            int_circuits.negate(self.n), ggsw
+        )
+        return UInt(outs, self.ctx, self.signed)
+
+    def shift(self, amount: "UInt", direction: str, mode: str) -> "UInt":
+        """Barrel shift by an encrypted amount (≙ `bitshift.rs`)."""
+        ggsw = self.to_ggsw() + amount.to_ggsw()
+        outs = self.ctx.circuit.insert_mux_circuit(
+            int_circuits.bitshift(self.n, amount.n, direction, mode), ggsw
+        )
+        return UInt(outs, self.ctx, self.signed)
+
+    def select(self, cond: "UInt", other: "UInt") -> "UInt":
+        """cond ? self : other, bitwise CMux (≙ `bit.rs:97` select)."""
+        assert cond.n == 1
+        c = self.ctx.circuit
+        sel = cond.to_ggsw()[0]
+        outs = []
+        for i in range(self.n):
+            hi = c.insert_ciphertext_conversion(
+                self._bit_node(self.bits[i]), self._bit_type(self.bits[i]), CtType.GLWE1
+            )
+            lo = c.insert_ciphertext_conversion(
+                other._bit_node(other.bits[i]),
+                other._bit_type(other.bits[i]),
+                CtType.GLWE1,
+            )
+            m = c.add_node(FheOp.CMUX)
+            c.add_edge(sel, m, FheEdge.SEL)
+            c.add_edge(lo, m, FheEdge.LOW)
+            c.add_edge(hi, m, FheEdge.HIGH)
+            outs.append(m)
+        return UInt(outs, self.ctx, self.signed)
+
+
+class Int(UInt):
+    """Signed two's-complement integer (`fluent/int.rs` type aliases)."""
+
+    def __init__(self, bits, ctx, signed=True):
+        super().__init__(bits=bits, ctx=ctx, signed=True)
