@@ -80,12 +80,13 @@ def mul_f32(ahi, alo, b):
 
 def from_f64_array(x):
     """Split f64 (numpy) values into ds (hi, lo) f32 pairs — used for
-    constants like twiddle factors."""
+    constants like twiddle factors. Returns numpy arrays so results can
+    be cached safely across jit traces."""
     import numpy as np
 
     hi = np.asarray(x, dtype=np.float32)
     lo = np.asarray(x - hi.astype(np.float64), dtype=np.float32)
-    return jnp.asarray(hi), jnp.asarray(lo)
+    return hi, lo
 
 
 def from_i64(x):

@@ -38,11 +38,12 @@ from .torus import f64_to_torus, to_signed_f64
 @functools.lru_cache(maxsize=16)
 def _twist(n: int):
     """Twist factors e^{2*pi*i*j/(2n)} for j in [0, n/2) and their inverses
-    (`negacyclic/mod.rs:58-72`)."""
+    (`negacyclic/mod.rs:58-72`). Cached as numpy constants (safe across
+    jit traces)."""
     k = n // 2
     j = np.arange(k)
     tw = np.exp(2j * np.pi * j / (2 * n))
-    return jnp.asarray(tw), jnp.asarray(1.0 / tw)
+    return tw, 1.0 / tw
 
 
 class C128Backend:

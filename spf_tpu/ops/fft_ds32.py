@@ -97,7 +97,8 @@ def _fft_tables(k: int, inverse: bool):
         twiddles.append(
             (*ds.from_f64_array(w.real), *ds.from_f64_array(w.imag))
         )
-    return jnp.asarray(br), twiddles
+    # numpy constants only: cached across jit traces
+    return br, twiddles
 
 
 def _fft_core(z: DsFreq, inverse: bool) -> DsFreq:

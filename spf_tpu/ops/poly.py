@@ -22,6 +22,19 @@ import numpy as np
 from .torus import U64
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _negacyclic_index_sign(n: int):
+    # numpy constants (not jnp): safe to cache across jit traces
+    i = np.arange(n)[:, None]
+    j = np.arange(n)[None, :]
+    idx = np.mod(j - i, n).astype(np.int32)
+    sign_neg = j < i  # wrapped terms pick up a minus sign
+    return idx, sign_neg
+
+
 def negacyclic_matrix(p: jnp.ndarray) -> jnp.ndarray:
     """Build M[i, j] such that (a ⊛ p)[j] = Σ_i a[i] * M[i, j] (mod 2**64),
     where ⊛ is multiplication mod X^N + 1.
@@ -29,10 +42,7 @@ def negacyclic_matrix(p: jnp.ndarray) -> jnp.ndarray:
     M[i, j] = p[j - i] if j >= i else -p[N + j - i].
     """
     n = p.shape[-1]
-    i = np.arange(n)[:, None]
-    j = np.arange(n)[None, :]
-    idx = (j - i) % n
-    sign_neg = j < i  # wrapped terms pick up a minus sign
+    idx, sign_neg = _negacyclic_index_sign(n)
     m = p[..., idx]
     return jnp.where(sign_neg, U64(0) - m, m)
 
