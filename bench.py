@@ -93,7 +93,6 @@ def main():
         np.save(bsk_path, np.asarray(bsk_coeff))
         print(f"# generated keys in {time.time()-t0:.1f}s", file=sys.stderr)
 
-    bsk = be.fwd_torus(bsk_coeff)
     lut = bootstrap.generate_lut([lambda x: (x + 1) % 8], glwe, bits)
 
     # --- encrypt inputs (host) ---
@@ -103,11 +102,27 @@ def main():
     )(jax.random.split(key, batch), msgs)
 
     # --- jitted batched PBS ---
-    @jax.jit
-    def step(c):
-        return bootstrap.programmable_bootstrap_univariate(
-            c, lut, bsk, lwe, glwe, radix, be
-        )
+    if backend == "ds32":
+        # TPU production path: coefficient-major layout (bootstrap_tpu)
+        from spf_tpu.ops import bootstrap_tpu as bt
+
+        bsk_t = jax.jit(bt.bsk_to_t)(bsk_coeff)
+        jax.block_until_ready(bsk_t)
+        cts = bt.to_t_layout(cts)
+
+        @jax.jit
+        def step(c):
+            return bt.from_t_layout(
+                bt.programmable_bootstrap_t(c, lut, bsk_t, lwe, glwe, radix)
+            )
+    else:
+        bsk = be.fwd_torus(bsk_coeff)
+
+        @jax.jit
+        def step(c):
+            return bootstrap.programmable_bootstrap_univariate(
+                c, lut, bsk, lwe, glwe, radix, be
+            )
 
     t0 = time.time()
     out = step(cts)
