@@ -17,7 +17,9 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 F32 = jnp.float32
-_SPLIT = F32(4097.0)  # 2**12 + 1, Veltkamp split constant for f32
+# 2**12 + 1, Veltkamp split constant for f32 (python float so it embeds
+# as a literal inside Pallas kernels instead of a captured array)
+_SPLIT = 4097.0
 
 
 def two_sum(a, b):
