@@ -15,7 +15,7 @@ equivalent subfunctions are shared (free CSE).
 from __future__ import annotations
 
 
-class BddManager:
+class PyBddManager:
     FALSE = 0
     TRUE = 1
 
@@ -96,3 +96,71 @@ class BddManager:
             v, lo, hi = self.nodes[f]
             f = hi if assignment[v] else lo
         return f
+
+
+class _NativeNodes:
+    """Sequence view over the native manager's (var, lo, hi) triples."""
+
+    def __init__(self, native_mgr):
+        self._m = native_mgr
+
+    def __getitem__(self, i: int):
+        return self._m.node(i)
+
+    def __len__(self):
+        return self._m.num_nodes()
+
+
+class NativeBddManager:
+    """Same interface as PyBddManager, backed by the C++ engine
+    (`spf_tpu/native/bdd_native.cpp`) — ~50-100x faster circuit builds."""
+
+    FALSE = 0
+    TRUE = 1
+
+    def __init__(self, native_module, num_vars: int):
+        self.num_vars = num_vars
+        self._m = native_module.Manager(num_vars)
+        self.nodes = _NativeNodes(self._m)
+
+    def var_of(self, f: int) -> int:
+        return self._m.node(f)[0]
+
+    def var(self, i: int) -> int:
+        assert 0 <= i < self.num_vars
+        return self._m.var(i)
+
+    def ite(self, f: int, g: int, h: int) -> int:
+        return self._m.ite(f, g, h)
+
+    def not_(self, f: int) -> int:
+        return self._m.ite(f, self.FALSE, self.TRUE)
+
+    def and_(self, f: int, g: int) -> int:
+        return self._m.ite(f, g, self.FALSE)
+
+    def or_(self, f: int, g: int) -> int:
+        return self._m.ite(f, self.TRUE, g)
+
+    def xor(self, f: int, g: int) -> int:
+        return self._m.ite(f, self.not_(g), g)
+
+    def xnor(self, f: int, g: int) -> int:
+        return self._m.ite(f, g, self.not_(g))
+
+    def evaluate(self, f: int, assignment) -> int:
+        while f > 1:
+            v, lo, hi = self._m.node(f)
+            f = hi if assignment[v] else lo
+        return f
+
+
+def BddManager(num_vars: int):
+    """Factory: native C++ engine when available, Python fallback
+    otherwise. Both produce identical node-id semantics."""
+    from ..native import get_native_bdd
+
+    native = get_native_bdd()
+    if native is not None:
+        return NativeBddManager(native, num_vars)
+    return PyBddManager(num_vars)

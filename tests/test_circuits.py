@@ -145,3 +145,28 @@ class TestMisc:
         # the high-to-low diagonal ordering gives ~3.2k muxes for 8x8
         # (the reference's cached circuit is the same order of magnitude)
         assert c.num_muxes < 6000, c.num_muxes
+
+
+class TestNativeBdd:
+    def test_native_matches_python(self):
+        """The C++ ROBDD engine and the Python fallback must produce
+        identical node ids for the same operation sequence."""
+        from spf_tpu.circuits.bdd import NativeBddManager, PyBddManager
+        from spf_tpu.native import get_native_bdd
+
+        native = get_native_bdd()
+        if native is None:
+            import pytest
+
+            pytest.skip("native BDD engine unavailable")
+        pm = PyBddManager(8)
+        nm = NativeBddManager(native, 8)
+        for mgr in (pm, nm):
+            a, b, c = mgr.var(0), mgr.var(1), mgr.var(2)
+            r1 = mgr.xor(mgr.and_(a, b), c)
+            r2 = mgr.or_(mgr.xnor(a, c), mgr.not_(b))
+            mgr._results = (r1, r2)
+        assert pm._results == nm._results
+        # full node tables agree
+        for i in range(len(pm.nodes)):
+            assert tuple(pm.nodes[i]) == tuple(nm.nodes[i])
