@@ -56,6 +56,15 @@ def main():
     from spf_tpu.ops.fft import get_backend
     from spf_tpu.params import DEFAULT_128
 
+    # system info (≙ reference `benchmark_system_info::print_system_info`)
+    import platform as _plat
+
+    print(
+        f"# system: {_plat.platform()} python={_plat.python_version()} "
+        f"jax={jax.__version__} devices={jax.devices()}",
+        file=sys.stderr,
+    )
+
     platform = jax.devices()[0].platform
     on_tpu = platform not in ("cpu",)
     backend = args.backend or ("ds32" if on_tpu else "c128")

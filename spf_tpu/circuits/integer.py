@@ -276,6 +276,22 @@ def bitwise_xor(n: int) -> MuxCircuit:
     return MuxCircuit.from_bdds(mgr, outs, imap)
 
 
+def popcount(n: int) -> MuxCircuit:
+    """Population count of n input bits -> ceil(log2(n+1)) output bits
+    (used by hamming-distance style programs)."""
+    mgr = BddManager(n)
+    out_w = (n).bit_length()
+    # BDD integer accumulator: list of output-bit BDDs, add 1 per input
+    acc = [mgr.FALSE] * out_w
+    for i in range(n):
+        carry = mgr.var(i)
+        for j in range(out_w):
+            s = mgr.xor(acc[j], carry)
+            carry = mgr.and_(acc[j], carry)
+            acc[j] = s
+    return MuxCircuit.from_bdds(mgr, acc)
+
+
 def convert_value_to_bits(value: int, n: int) -> list:
     """LSB-first bit list of `value` (≙ `util.rs` convert_value_to_bits)."""
     return [(value >> i) & 1 for i in range(n)]

@@ -75,9 +75,21 @@ class FheComputer:
     # program execution
     # ------------------------------------------------------------------
 
-    def run_program(self, entry: int, memory: Memory, call_data=None, gas_limit=None):
+    def run_program(
+        self,
+        entry: int,
+        memory: Memory,
+        call_data=None,
+        gas_limit=None,
+        log_instruction_execution: bool = False,
+        log_register_info: bool = False,
+    ):
         """Fetch/decode/execute until Ret (≙ `run_program_with_options`,
-        `fhe_processor.rs:635-700`). Returns the return-value pointer."""
+        `fhe_processor.rs:635-700`; logging flags ≙ `RunProgramOptions`,
+        `fhe_processor.rs:26-103`). Returns the return-value pointer."""
+        import logging
+
+        log = logging.getLogger("spf_tpu.cpu")
         self.reset()
         self.gas_limit = gas_limit
         return_ptr = 0
@@ -87,9 +99,14 @@ class FheComputer:
         while True:
             word = memory.try_load_plaintext_dword(pc)
             instr = decode(word)
+            if log_instruction_execution:
+                log.info("pc=0x%08x %s %s", pc, instr.name, instr.operands)
             if instr.name == "Ret":
                 break
             pc = self._execute(instr, pc, memory)
+            if log_register_info and "dst" in instr.operands:
+                r = instr.operands["dst"]
+                log.info("  x%d = %s", r, self.registers[r])
         return return_ptr
 
     def reset(self):

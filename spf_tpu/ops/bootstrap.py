@@ -43,6 +43,47 @@ def generate_bootstrap_key(
     return be.fwd_torus(jnp.stack(rows, axis=0))
 
 
+def generate_blind_rotation_shift(
+    key,
+    rotation: int,
+    glwe_sk: jnp.ndarray,
+    glwe: GlweDef,
+    radix: RadixDecomposition,
+    be=C128,
+):
+    """Encrypt a rotation amount as log2(N) GGSW bit encryptions (the
+    `BlindRotationShift` entity, `entities/blind_rotation_shift.rs`;
+    keygen `ops/bootstrapping/blind_rotation.rs:226-258`). Returns the
+    frequency-domain stack [log2 N, k+1, l, k+1, N/2]."""
+    assert 0 <= rotation < glwe.degree
+    keys = jax.random.split(key, glwe.log_degree)
+    rows = []
+    for i in range(glwe.log_degree):
+        bit = (rotation >> i) & 1
+        rows.append(enc.encrypt_ggsw_scalar(keys[i], bit, glwe_sk, glwe, radix))
+    return be.fwd_torus(jnp.stack(rows, axis=0))
+
+
+def blind_rotation(
+    ct: jnp.ndarray,
+    shift_fft,
+    glwe: GlweDef,
+    radix: RadixDecomposition,
+    be=C128,
+) -> jnp.ndarray:
+    """Negatively rotate a GLWE's message by an *encrypted* amount: a
+    CMux ladder over the shift's bit encryptions, rotating by X^{-2^i}
+    at level i (`ops/bootstrapping/blind_rotation.rs:202-224`).
+    Supports leading batch dims on `ct`."""
+    from .poly import monomial_mul
+
+    out = u64(ct)
+    for i in range(glwe.log_degree):
+        rotated = monomial_mul(out, 2 * glwe.degree - (1 << i))
+        out = cmux(out, rotated, shift_fft[i], glwe, radix, be)
+    return out
+
+
 def generate_lut(maps, glwe: GlweDef, plaintext_bits: int) -> jnp.ndarray:
     """Build a univariate (possibly multi-function) LUT as a trivial GLWE
     whose B polynomial encodes the table (`programmable_bootstrapping.rs:

@@ -290,6 +290,14 @@ class UInt:
         )
         return UInt(outs, self.ctx, self.signed)
 
+    def popcount(self) -> "UInt":
+        """Number of set bits (≙ hamming-distance building block)."""
+        ggsw = self.to_ggsw()
+        outs = self.ctx.circuit.insert_mux_circuit(
+            int_circuits.popcount(self.n), ggsw
+        )
+        return UInt(outs, self.ctx)
+
     def select(self, cond: "UInt", other: "UInt") -> "UInt":
         """cond ? self : other, bitwise CMux (≙ `bit.rs:97` select)."""
         assert cond.n == 1
@@ -318,3 +326,27 @@ class Int(UInt):
 
     def __init__(self, bits, ctx, signed=True):
         super().__init__(bits=bits, ctx=ctx, signed=True)
+
+
+def _make_alias(n, signed):
+    def factory(ctx: FheCircuitCtx):
+        return UInt.input(ctx, n, signed)
+
+    factory.__name__ = ("Int" if signed else "UInt") + str(n)
+    factory.__doc__ = f"Declare a {factory.__name__} input (≙ `fluent/uint.rs:69-114`)."
+    return factory
+
+
+# width aliases (≙ reference UInt8..UInt256 / Int8..Int256)
+UInt8 = _make_alias(8, False)
+UInt16 = _make_alias(16, False)
+UInt32 = _make_alias(32, False)
+UInt64 = _make_alias(64, False)
+UInt128 = _make_alias(128, False)
+UInt256 = _make_alias(256, False)
+Int8 = _make_alias(8, True)
+Int16 = _make_alias(16, True)
+Int32 = _make_alias(32, True)
+Int64 = _make_alias(64, True)
+Int128 = _make_alias(128, True)
+Int256 = _make_alias(256, True)

@@ -162,3 +162,31 @@ class TestCBS:
         for i, b in enumerate(bits):
             dec = torus.decode(enc.decrypt_glwe(out[i], glwe_sk, GLWE), 1)
             np.testing.assert_array_equal(np.asarray(dec), b)
+
+
+class TestStandaloneBlindRotation:
+    def test_rotate_by_encrypted_amount(self, keys):
+        """(mirrors the reference blind_rotation doctest: rotating
+        [1..N] by an encrypted 1 shifts the message down by one)"""
+        lwe_sk, glwe_sk, _ = keys
+        radix = RadixDecomposition(count=2, radix_log=16)
+        bits = 4
+        msg = (jnp.arange(GLWE.degree, dtype=jnp.uint64) + 1) % 16
+        ct = enc.encrypt_glwe(k(200), torus.encode(msg, bits), glwe_sk, GLWE)
+        for rot in [1, 5]:
+            shift = bootstrap.generate_blind_rotation_shift(
+                k(201 + rot), rot, glwe_sk, GLWE, radix
+            )
+            out = bootstrap.blind_rotation(ct, shift, GLWE, radix)
+            dec = np.asarray(
+                torus.decode(enc.decrypt_glwe(out, glwe_sk, GLWE), bits)
+            )
+            n = GLWE.degree
+            expected = np.array(
+                [
+                    ((j + rot) % n + 1) % 16 if j + rot < n else (16 - ((j + rot) % n + 1)) % 16
+                    for j in range(n)
+                ],
+                dtype=np.uint64,
+            )
+            np.testing.assert_array_equal(dec, expected, err_msg=f"rot={rot}")

@@ -96,3 +96,19 @@ class TestEncryptedInts:
         ct_b = ev.enc.encrypt_packed_uint(jax.random.fold_in(KEY, 31), 103, n, pk)
         outputs = ex.run(ctx.circuit, {"in0": ct_a, "in1": ct_b})
         assert ev.enc.decrypt_packed_uint(outputs[out_key], n, sk) == 223
+
+
+class TestGradeschoolMul:
+    def test_wide_mul_decomposes(self, material):
+        """Widths above CIRCUIT_CUTOFF decompose gradeschool-style
+        (≙ `mul.rs:259-312`); exercised at u8 by lowering the cutoff."""
+        sk, _, ev, ex = material
+        from spf_tpu.circuits import integer as int_circuits
+
+        old = int_circuits.CIRCUIT_CUTOFF
+        int_circuits.CIRCUIT_CUTOFF = 4
+        try:
+            got = run_binary(ex, ev, sk, lambda a, b: a * b, 13, 11, 8)
+        finally:
+            int_circuits.CIRCUIT_CUTOFF = old
+        assert got == 143

@@ -216,3 +216,21 @@ class TestNegacyclicFFT:
         f = be.fwd_torus(x)
         assert f.shape == (3, 5, n // 2)
         np.testing.assert_array_equal(np.asarray(be.inv(f)), np.asarray(x))
+
+
+class TestGoldilocksNtt:
+    def test_roundtrip_and_convolution(self):
+        from spf_tpu.ops import ntt
+
+        rng = np.random.default_rng(3)
+        a = [int(x) for x in rng.integers(0, 1 << 62, 16)]
+        assert ntt.ntt(ntt.ntt(a), inverse=True) == [x % ntt.GOLDILOCKS_P for x in a]
+        b = [int(x) for x in rng.integers(0, 1000, 16)]
+        sm = [int(x) for x in rng.integers(0, 1000, 16)]
+        got = ntt.cyclic_mul(b, sm)
+        n = 16
+        exp = [0] * n
+        for i in range(n):
+            for j in range(n):
+                exp[(i + j) % n] = (exp[(i + j) % n] + b[i] * sm[j]) % ntt.GOLDILOCKS_P
+        assert got == exp
