@@ -69,7 +69,12 @@ def main():
     on_tpu = platform not in ("cpu",)
     backend = args.backend or ("ds32" if on_tpu else "c128")
     be = get_backend(backend)
-    batch = args.batch or (16 if args.quick else 64)
+    if args.batch:
+        batch = args.batch
+    elif on_tpu:
+        batch = 128 if args.quick else 512
+    else:
+        batch = 16 if args.quick else 64
     iters = args.iters or (2 if args.quick else 5)
 
     p = DEFAULT_128

@@ -47,16 +47,29 @@ def bsk_to_t(bsk_coeff: jnp.ndarray):
 
 
 def monomial_mul_t(a: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
-    """a [..., N, B] times X^t with per-batch t [B] (negacyclic)."""
+    """a [..., N, B] times X^t with per-batch t [B] (negacyclic).
+
+    Implemented as log2(2N) statically-shifted negacyclic rolls selected
+    by the bits of t — a general per-element gather lowers to a
+    catastrophically slow TPU gather (measured 15 ms per call at
+    N=2048, B=128, ~97% of the whole blind-rotation step), while static
+    rolls + selects are plain vector ops.
+    """
     n = a.shape[-2]
-    t = t.astype(jnp.int64)
-    j = jnp.arange(n, dtype=jnp.int64)[:, None]
-    uu = (j - t[None, :]) % (2 * n)  # [N, B]
-    wrapped = uu >= n
-    idx = jnp.where(wrapped, uu - n, uu)
-    idx_b = jnp.broadcast_to(idx, a.shape)
-    gathered = jnp.take_along_axis(a, idx_b, axis=-2)
-    return jnp.where(wrapped, U64(0) - gathered, gathered)
+    t = t.astype(U64)
+    out = a
+    # X^(2^i) for i < log2(N): roll down by 2^i with sign wrap
+    for i in range(n.bit_length() - 1):
+        s = 1 << i
+        rolled = jnp.roll(out, s, axis=-2)
+        sign_mask = (jnp.arange(n) < s)[:, None]
+        rolled = jnp.where(sign_mask, U64(0) - rolled, rolled)
+        bit = ((t >> U64(i)) & U64(1)) > 0  # [B]
+        out = jnp.where(bit, rolled, out)
+    # X^N = -1
+    bit_n = ((t >> U64(n.bit_length() - 1)) & U64(1)) > 0
+    out = jnp.where(bit_n, U64(0) - out, out)
+    return out
 
 
 def external_product_t(
