@@ -72,7 +72,9 @@ def main():
     if args.batch:
         batch = args.batch
     elif on_tpu:
-        batch = 128 if args.quick else 512
+        # throughput saturates ~batch 128-256; larger batches only
+        # inflate compile time through the remote-compile tunnel
+        batch = 128 if args.quick else 256
     else:
         batch = 16 if args.quick else 64
     iters = args.iters or (2 if args.quick else 5)

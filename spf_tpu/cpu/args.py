@@ -73,6 +73,28 @@ class ArgsBuilder:
         self._args.append(Arg(alignment=_alignment(len(bit_cts)), bytes=bs))
         return self
 
+    def arg_bytes(self, data: bytes, alignment: int = None) -> "ArgsBuilder":
+        """A raw plaintext struct argument (≙ `derive(IntoBytes)`,
+        `parasol_cpu_macros/src/lib.rs:11-25`): the caller serializes
+        the struct little-endian, field by field."""
+        self._args.append(
+            Arg(alignment=alignment or _alignment(len(data) * 8), bytes=list(data))
+        )
+        return self
+
+    def arg_struct(self, fields) -> "ArgsBuilder":
+        """A plaintext struct from (value, width_bits) fields, packed in
+        order with natural per-field alignment."""
+        out = []
+        for value, width in fields:
+            n = _nbytes(width)
+            align = _alignment(width)
+            while len(out) % align:
+                out.append(0)
+            out.extend((value >> (8 * i)) & 0xFF for i in range(n))
+        self._args.append(Arg(alignment=16, bytes=out))
+        return self
+
     def return_value(self, width: int, encrypted: bool = True) -> "ArgsBuilder":
         self._ret = (_nbytes(width), _alignment(width), encrypted)
         return self

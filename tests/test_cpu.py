@@ -277,3 +277,29 @@ class TestElf:
         )
         mem, rp, _ = run_program(ev, data, "add", call)
         assert decrypt_return(mem, rp, 1, ev.enc, sk) == 96
+
+
+class TestStructArgs:
+    def test_struct_argument(self, material):
+        """Plaintext struct passed by bytes (IntoBytes parity): the
+        program loads two u8 fields from the struct and adds them."""
+        _, ev = material
+        asm = (
+            Asm()
+            .load(1, SP, 8, offset=0)
+            .load(2, SP, 8, offset=1)
+            .add(3, 1, 2)
+            .store(RP, 3, 8)
+            .ret()
+        )
+        mem = Memory()
+        entry = mem.allocate_program(asm.instrs)
+        proc = FheComputer(ev)
+        call = (
+            ArgsBuilder()
+            .arg_struct([(19, 8), (23, 8)])
+            .return_value(8, encrypted=False)
+            .build()
+        )
+        rp = proc.run_program(entry, mem, call)
+        assert decode_plaintext_return(mem, rp, 1) == 42
