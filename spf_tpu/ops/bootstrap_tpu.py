@@ -83,10 +83,14 @@ def external_product_t(
     digits = decompose(glwe, radix)  # [l, k+1, N, B]
     dfft = ft.fwd_signed_t(digits)  # tuple [l, k+1, K, B]
     acc = ft.zeros_t((kp1, k2, bb))
+    batched_sel = ggsw_fft_row[0].ndim == 5  # [k+1, l, k+1, K, B]
     for i in range(kp1):
         for j in range(radix.count):
             d = tuple(c[j, i, None, :, :] for c in dfft)  # [1, K, B]
-            g = tuple(c[i, j, :, :, None] for c in ggsw_fft_row)  # [k+1, K, 1]
+            if batched_sel:
+                g = tuple(c[i, j] for c in ggsw_fft_row)  # [k+1, K, B]
+            else:
+                g = tuple(c[i, j, :, :, None] for c in ggsw_fft_row)  # [k+1, K, 1]
             acc = ft.cmadd_t(acc, d, g)
     return acc
 
@@ -154,3 +158,158 @@ def programmable_bootstrap_t(
     lut_t = u64(lut_glwe)[..., None]
     rotated = blind_rotate_t(lut_t, ct_sw, bsk_fft_t, lwe, glwe, radix)
     return sample_extract_t(rotated, 0, glwe)
+
+
+# --------------------------------------------------------------------------
+# circuit bootstrapping in t-layout (the full L0 LWE -> L1 GGSW conversion)
+# --------------------------------------------------------------------------
+
+
+def keys_to_t(auto_keys_coeff: jnp.ndarray, ssk_coeff: jnp.ndarray):
+    """Coefficient-domain automorphism keys [log2 N, k, l, k+1, N] and
+    scheme-switch key [k, k, l, k+1, N] -> t-layout freq tuples."""
+    ak = ft.fwd_torus_t(u64(auto_keys_coeff)[..., None])
+    ssk = ft.fwd_torus_t(u64(ssk_coeff)[..., None])
+    return tuple(c[..., 0] for c in ak), tuple(c[..., 0] for c in ssk)
+
+
+def monomial_mul_static_t(a: jnp.ndarray, t: int) -> jnp.ndarray:
+    """a [..., N, B] times X^t for a STATIC t (roll + sign mask)."""
+    n = a.shape[-2]
+    t = t % (2 * n)
+    neg = t >= n
+    s = t % n
+    out = jnp.roll(a, s, axis=-2) if s else a
+    if s:
+        mask = (jnp.arange(n) < s)[:, None]
+        out = jnp.where(mask, U64(0) - out, out)
+    return (U64(0) - out) if neg else out
+
+
+def pow_k_t(a: jnp.ndarray, k_exp: int) -> jnp.ndarray:
+    """Automorphism X -> X^k on [..., N, B] (static permutation along
+    axis -2 with signs; ≙ `poly.pow_k`)."""
+    import numpy as np
+
+    n = a.shape[-2]
+    i = np.arange(n)
+    dest = (i * k_exp) % n
+    sign_neg = ((i * k_exp) // n) % 2 == 1
+    src = np.zeros(n, dtype=np.int64)
+    src[dest] = i
+    neg = np.zeros(n, dtype=bool)
+    neg[dest] = sign_neg
+    out = jnp.take(a, jnp.asarray(src), axis=-2)
+    return jnp.where(jnp.asarray(neg)[:, None], U64(0) - out, out)
+
+
+def keyswitch_glwe_t(
+    ct: jnp.ndarray, ksk_fft_row, glwe_def: GlweDef, radix: RadixDecomposition
+) -> jnp.ndarray:
+    """GLWE keyswitch in t-layout: ct [k+1, N, B], ksk freq components
+    [k, l, k+1, K] -> [k+1, N, B] (≙ `fft_ops.keyswitch_glwe_to_glwe`)."""
+    k = glwe_def.size
+    kp1 = k + 1
+    k2 = glwe_def.degree // 2
+    bb = ct.shape[-1]
+    a, b = ct[:-1], ct[-1]
+    digits = decompose(a, radix)  # [l, k, N, B]
+    dfft = ft.fwd_signed_t(digits)
+    acc = ft.zeros_t((kp1, k2, bb))
+    for i in range(k):
+        for j in range(radix.count):
+            d = tuple(c[j, i, None, :, :] for c in dfft)
+            g = tuple(c[i, j, :, :, None] for c in ksk_fft_row)
+            acc = ft.cmadd_t(acc, d, g)
+    a_sum = ft.inv_t(acc)
+    trivial_b = jnp.zeros_like(ct).at[-1].set(b)
+    return trivial_b - a_sum
+
+
+def trace_t(
+    ct: jnp.ndarray, auto_keys_fft_t, glwe_def: GlweDef, radix: RadixDecomposition
+) -> jnp.ndarray:
+    """Homomorphic trace in t-layout (≙ `automorphism.trace`)."""
+    n = glwe_def.degree
+    out = u64(ct)
+    for i in range(1, glwe_def.log_degree + 1):
+        k_exp = n // (1 << (i - 1)) + 1
+        mapped = pow_k_t(out, k_exp)
+        row = tuple(c[i - 1] for c in auto_keys_fft_t)
+        out = out + keyswitch_glwe_t(mapped, row, glwe_def, radix)
+    return out
+
+
+def scheme_switch_t(
+    glev: jnp.ndarray,
+    ssk_fft_t,
+    glwe_def: GlweDef,
+    radix_ggsw: RadixDecomposition,
+    radix_ss: RadixDecomposition,
+):
+    """GLEV [l_ggsw, k+1, N, B] -> GGSW freq tuple [k+1, l_ggsw, k+1, K, B]
+    (≙ `fft_ops.scheme_switch_fft`)."""
+    k = glwe_def.size
+    kp1 = k + 1
+    k2 = glwe_def.degree // 2
+    bb = glev.shape[-1]
+    l_ggsw = radix_ggsw.count
+    a = glev[:, :-1]  # [l, k, N, B]
+    b = glev[:, -1]  # [l, N, B]
+    b_fft = ft.fwd_torus_t(b)  # [l, K, B]
+    digits = decompose(a, radix_ss)  # [l_ss, l, k, N, B]
+    dfft = ft.fwd_signed_t(digits)
+    rows = []
+    for j in range(k):
+        acc = list(ft.zeros_t((l_ggsw, kp1, k2, bb)))
+        for c in range(4):
+            acc[c] = acc[c].at[:, j].set(b_fft[c])
+        acc = tuple(acc)
+        for r in range(k):
+            for jj in range(radix_ss.count):
+                d = tuple(c[jj, :, r, None, :, :] for c in dfft)  # [l,1,K,B]
+                g = tuple(c[j, r, jj, :, :, None] for c in ssk_fft_t)  # [k+1,K,1]
+                acc = ft.cmadd_t(acc, d, g)
+        rows.append(acc)
+    rows.append(ft.fwd_torus_t(glev))  # row k
+    return tuple(
+        jnp.stack([rows[r][c] for r in range(kp1)], axis=0) for c in range(4)
+    )
+
+
+def circuit_bootstrap_t(
+    ct_t: jnp.ndarray,
+    bsk_fft_t,
+    auto_keys_fft_t,
+    ssk_fft_t,
+    params,
+):
+    """Full WHS+24 circuit bootstrap in t-layout: L0 LWE batch
+    [n0+1, B] -> L1 GGSW freq tuple [k+1, l_cbs, k+1, K, B]
+    (≙ `cbs.circuit_bootstrap`)."""
+    from .cbs import multifunctional_cbs_lut, _log_v
+    from .torus import encode, shr_round
+
+    p = params
+    glwe = p.l1_params
+    cbs_radix = p.cbs_radix
+    # 1. rotate by q/4 and multi-function PBS
+    ct_rot = u64(ct_t).at[-1].add(encode(1, 2))
+    lut = multifunctional_cbs_lut(glwe, cbs_radix)
+    two_n = glwe.log_degree + 1
+    ct_sw = lwe_modulus_switch(ct_rot, 0, _log_v(cbs_radix.count), two_n)
+    lo_noise = blind_rotate_t(
+        u64(lut)[..., None], ct_sw, bsk_fft_t, p.l0_params, glwe, p.pbs_radix
+    )
+    # 2. per level: un-rotate offset, X^{-i}, mod-switch (>> log2 N), trace
+    rows = []
+    rotated = lo_noise
+    for i in range(cbs_radix.count):
+        pb = cbs_radix.radix_log * (i + 1) + 1
+        rotated = rotated.at[-1, i].add(encode(1, pb))
+        permuted = monomial_mul_static_t(rotated, 2 * glwe.degree - i)
+        shifted = shr_round(permuted, glwe.log_degree)
+        rows.append(trace_t(shifted, auto_keys_fft_t, glwe, p.tr_radix))
+    glev = jnp.stack(rows, axis=0)  # [l, k+1, N, B]
+    # 3. scheme switch
+    return scheme_switch_t(glev, ssk_fft_t, glwe, cbs_radix, p.ss_radix)

@@ -27,9 +27,14 @@ def _role(ins, role):
 
 
 class CircuitExecutor:
-    def __init__(self, ev: Evaluation):
+    def __init__(self, ev: Evaluation, debug: bool = False):
         self.ev = ev
         self.be = ev.be
+        # `debug` records each dispatched batched group (≙ the reference's
+        # `debug` cargo feature ring of completed task ids,
+        # `circuit_processor/mod.rs:35-42`, and its trace log lines)
+        self.debug = debug
+        self.debug_log: list = []
 
     # --- constants ---
 
@@ -77,6 +82,8 @@ class CircuitExecutor:
                 node = circuit.nodes[node_id]
                 groups.setdefault((node.op, node.param), []).append(node_id)
             for (op, param), node_ids in groups.items():
+                if self.debug:
+                    self.debug_log.append((op.value, param, len(node_ids)))
                 self._exec_group(circuit, op, param, node_ids, preds, values, inputs, outputs)
         return outputs
 

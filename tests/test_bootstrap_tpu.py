@@ -80,3 +80,89 @@ class TestTLayoutPBS:
         dec_t = torus.decode(enc.decrypt_lwe(t_out, sk_flat, GLWE.as_lwe_def()), 3)
         np.testing.assert_array_equal(np.asarray(dec_t), np.asarray(dec_ref))
         np.testing.assert_array_equal(np.asarray(dec_t), (np.arange(8) * 3 + 1) % 8)
+
+
+class TestTLayoutCBS:
+    def test_full_conversion_matches(self):
+        """circuit_bootstrap_t must produce GGSWs that select correctly,
+        decrypt-identical to the reference-layout CBS path."""
+        import jax
+
+        from spf_tpu.ops import keyswitch, scheme_switch, torus
+        from spf_tpu.params import Params, RadixDecomposition
+
+        P = Params(
+            l0_params=LWE,
+            l1_params=GlweDef(size=1, degree=128, std=1e-16),
+            cbs_radix=RadixDecomposition(count=2, radix_log=9),
+            pbs_radix=RadixDecomposition(count=2, radix_log=16),
+            ks_radix=RadixDecomposition(count=9, radix_log=4),
+            pfks_radix=RadixDecomposition(count=4, radix_log=11),
+            ss_radix=RadixDecomposition(count=6, radix_log=8),
+            tr_radix=RadixDecomposition(count=6, radix_log=7),
+        )
+        glwe = P.l1_params
+        lwe_sk = enc.generate_lwe_sk(k(50), LWE)
+        glwe_sk = enc.generate_glwe_sk(k(51), glwe)
+        keys_split = jax.random.split(k(52), LWE.dim)
+        bsk_coeff = jnp.stack(
+            [
+                enc.encrypt_ggsw_scalar(keys_split[i], lwe_sk[i], glwe_sk, glwe, P.pbs_radix)
+                for i in range(LWE.dim)
+            ]
+        )
+        # coefficient-domain automorphism + scheme-switch keys
+        ak_rows = []
+        n = glwe.degree
+        from spf_tpu.ops.poly import pow_k, negacyclic_mul_exact
+
+        akeys = jax.random.split(k(53), glwe.log_degree)
+        for i in range(1, glwe.log_degree + 1):
+            k_exp = n // (1 << (i - 1)) + 1
+            sk_k = jnp.stack([pow_k(glwe_sk[r], k_exp) for r in range(glwe.size)])
+            ak_rows.append(
+                keyswitch.generate_glwe_keyswitch_key(
+                    akeys[i - 1], sk_k, glwe_sk, glwe, P.tr_radix
+                )
+            )
+        ak_coeff = jnp.stack(ak_rows)
+        ssk_rows = []
+        for i in range(glwe.size):
+            cols = []
+            for j in range(glwe.size):
+                ii, jj = min(i, j), max(i, j)
+                s_ij = negacyclic_mul_exact(glwe_sk[ii], glwe_sk[jj])
+                cols.append(
+                    enc.encrypt_glev(
+                        jax.random.fold_in(k(54), ii * glwe.size + jj),
+                        s_ij, glwe_sk, glwe, P.ss_radix,
+                    )
+                )
+            ssk_rows.append(jnp.stack(cols))
+        ssk_coeff = jnp.stack(ssk_rows)
+
+        bsk_t = bt.bsk_to_t(bsk_coeff)
+        ak_t, ssk_t = bt.keys_to_t(ak_coeff, ssk_coeff)
+
+        B = 4
+        bits = [0, 1, 1, 0]
+        cts = jnp.stack(
+            [
+                enc.encrypt_lwe(k(60 + i), torus.encode(b, 1), lwe_sk, LWE)
+                for i, b in enumerate(bits)
+            ]
+        )
+        # eager: the XLA *CPU* compile of the full fused CBS graph is
+        # pathologically slow/memory-hungry; the jitted path is exercised
+        # on TPU (where it compiles fine) by the bench/profiling runs
+        ggsw_t = bt.circuit_bootstrap_t(bt.to_t_layout(cts), bsk_t, ak_t, ssk_t, P)
+
+        # use the batched GGSW as a cmux selector in t-layout
+        m0 = jnp.zeros((glwe.size + 1, glwe.degree, B), dtype=jnp.uint64)
+        one_poly = torus.encode(jnp.ones(glwe.degree, dtype=jnp.uint64), 1)
+        m1 = jnp.zeros_like(m0).at[-1].set(one_poly[:, None])
+        out = bt.cmux_t(m0, m1, ggsw_t, glwe, P.cbs_radix)
+        for i, b in enumerate(bits):
+            glwe_ct = bt.from_t_layout(out)[i]
+            dec = torus.decode(enc.decrypt_glwe(glwe_ct, glwe_sk, glwe), 1)
+            np.testing.assert_array_equal(np.asarray(dec), b, err_msg=f"bit {i}")
