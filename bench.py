@@ -37,14 +37,18 @@ def main():
     ap.add_argument("--iters", type=int, default=None)
     ap.add_argument("--backend", default=None, choices=["ds32", "c128"])
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument(
+        "--keygen-only", action="store_true",
+        help="generate and cache DEFAULT_128 keys, then exit (CPU backend)",
+    )
     args = ap.parse_args()
 
-    if args.cpu:
+    if args.cpu or args.keygen_only:
         os.environ["JAX_PLATFORMS"] = "cpu"
 
     import jax
 
-    if args.cpu:
+    if args.cpu or args.keygen_only:
         jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
 
@@ -89,13 +93,7 @@ def main():
     bsk_path = os.path.join(KEY_CACHE, "default128_bsk_coeff.npy")
     key = jax.random.key(2024)
     t0 = time.time()
-    if os.path.exists(sk_path) and os.path.exists(bsk_path):
-        data = np.load(sk_path)
-        lwe_sk = jnp.asarray(data["lwe_sk"])
-        glwe_sk = jnp.asarray(data["glwe_sk"])
-        bsk_coeff = jnp.asarray(np.load(bsk_path))
-        print(f"# loaded cached keys in {time.time()-t0:.1f}s", file=sys.stderr)
-    else:
+    if args.keygen_only:
         k1, k2, k3 = jax.random.split(key, 3)
         lwe_sk = enc.generate_lwe_sk(k1, lwe)
         glwe_sk = enc.generate_glwe_sk(k2, glwe)
@@ -104,10 +102,26 @@ def main():
             lambda k, b: enc.encrypt_ggsw_scalar(k, b, glwe_sk, glwe, radix)
         )
         rows = [enc_row(keys[i], lwe_sk[i]) for i in range(lwe.dim)]
-        bsk_coeff = jnp.stack(rows, axis=0)
         np.savez(sk_path, lwe_sk=np.asarray(lwe_sk), glwe_sk=np.asarray(glwe_sk))
-        np.save(bsk_path, np.asarray(bsk_coeff))
-        print(f"# generated keys in {time.time()-t0:.1f}s", file=sys.stderr)
+        np.save(bsk_path, np.asarray(jnp.stack(rows, axis=0)))
+        print(f"# keygen done in {time.time()-t0:.1f}s", file=sys.stderr)
+        return
+    if not (os.path.exists(sk_path) and os.path.exists(bsk_path)):
+        # keygen uses exact u64 polynomial products, which only lower on
+        # the CPU backend — run it in a CPU subprocess
+        import subprocess
+
+        print("# generating keys in a CPU subprocess...", file=sys.stderr)
+        env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="")
+        subprocess.run(
+            [sys.executable, __file__, "--keygen-only"], env=env, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+    data = np.load(sk_path)
+    lwe_sk = jnp.asarray(data["lwe_sk"])
+    glwe_sk = jnp.asarray(data["glwe_sk"])
+    bsk_coeff = jnp.asarray(np.load(bsk_path))
+    print(f"# keys ready in {time.time()-t0:.1f}s", file=sys.stderr)
 
     lut = bootstrap.generate_lut([lambda x: (x + 1) % 8], glwe, bits)
 
