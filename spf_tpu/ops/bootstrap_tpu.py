@@ -286,7 +286,14 @@ def circuit_bootstrap_t(
 ):
     """Full WHS+24 circuit bootstrap in t-layout: L0 LWE batch
     [n0+1, B] -> L1 GGSW freq tuple [k+1, l_cbs, k+1, K, B]
-    (≙ `cbs.circuit_bootstrap`)."""
+    (≙ `cbs.circuit_bootstrap`).
+
+    NOTE: correct and fast per-component, but jitting the WHOLE graph at
+    DEFAULT_128 currently takes >30 min through the axon remote-compile
+    path (the l x log2(N) unrolled trace keyswitches make a huge HLO).
+    Next round: wrap trace rounds in `lax.scan` over stacked permutation
+    tables / keys to collapse the program size. CPU/eager is fine.
+    """
     from .cbs import multifunctional_cbs_lut, _log_v
     from .torus import encode, shr_round
 
