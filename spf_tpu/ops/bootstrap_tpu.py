@@ -9,10 +9,10 @@ second-to-last and the ciphertext batch LAST (on vector lanes):
 - BSK:        freq tuple of 4 f32 [n0, k+1, l, k+1, N/2] (broadcast
               over the batch lanes)
 
-The per-step monomial rotations become leading-axis gathers and every
-FFT stage is tile-contiguous (`fft_ds32_t.py`), which is what makes
-XLA:TPU generate clean vector code — the batch-minor layout used
-elsewhere measures ~100x off speed-of-light due to relayouts.
+The per-step monomial rotations are bit-selected static rolls and
+every FFT stage is tile-contiguous (`fft_ds32_t.py`), which is what
+makes XLA:TPU generate clean vector code — per-element gathers and the
+batch-minor layout used elsewhere measure ~40-100x off speed-of-light.
 
 Semantics are identical to `bootstrap.py` (tested against it); use this
 path for throughput work (bench, production serving).
