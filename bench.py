@@ -91,7 +91,10 @@ def main():
     os.makedirs(KEY_CACHE, exist_ok=True)
     sk_path = os.path.join(KEY_CACHE, "default128_sk.npz")
     bsk_path = os.path.join(KEY_CACHE, "default128_bsk_coeff.npy")
-    key = jax.random.key(2024)
+    # disjoint subkeys for keygen vs input encryption (never reuse a
+    # consumed PRNG key: the keygen subkeys must not appear in ciphertext
+    # masks)
+    key, key_enc = jax.random.split(jax.random.key(2024))
     t0 = time.time()
     if args.keygen_only:
         k1, k2, k3 = jax.random.split(key, 3)
@@ -129,7 +132,7 @@ def main():
     msgs = jnp.arange(batch, dtype=jnp.uint64) % 8
     cts = jax.vmap(
         lambda k, m: enc.encrypt_lwe(k, torus.encode(m, bits + 1), lwe_sk, lwe)
-    )(jax.random.split(key, batch), msgs)
+    )(jax.random.split(key_enc, batch), msgs)
 
     # --- jitted batched PBS ---
     if backend == "ds32":

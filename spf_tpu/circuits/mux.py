@@ -15,8 +15,8 @@ reference's CSE `optimize()` pass.
 from __future__ import annotations
 
 import dataclasses
+import json
 import os
-import pickle
 
 from .bdd import BddManager
 
@@ -59,41 +59,97 @@ class MuxCircuit:
         nodes = [("zero",), ("one",)]
         rename = {mgr.FALSE: 0, mgr.TRUE: 1}
 
-        def convert(f: int) -> int:
-            if f in rename:
-                return rename[f]
-            var, lo, hi = mgr.nodes[f]
-            lo_id = convert(lo)
-            hi_id = convert(hi)
-            sel = var if input_map is None else input_map[var]
-            nodes.append(("mux", sel, lo_id, hi_id))
-            rename[f] = len(nodes) - 1
-            return rename[f]
+        def convert(root: int) -> int:
+            # explicit-stack post-order: deep BDDs (wide multipliers) would
+            # overflow the C stack under recursion
+            stack = [root]
+            while stack:
+                f = stack[-1]
+                if f in rename:
+                    stack.pop()
+                    continue
+                var, lo, hi = mgr.nodes[f]
+                pending = [c for c in (lo, hi) if c not in rename]
+                if pending:
+                    stack.extend(pending)
+                    continue
+                stack.pop()
+                sel = var if input_map is None else input_map[var]
+                nodes.append(("mux", sel, rename[lo], rename[hi]))
+                rename[f] = len(nodes) - 1
+            return rename[root]
 
-        # iterative conversion to avoid deep recursion on big circuits
-        import sys
-
-        old = sys.getrecursionlimit()
-        sys.setrecursionlimit(max(old, 100000))
-        try:
-            outputs = [convert(r) for r in roots]
-        finally:
-            sys.setrecursionlimit(old)
+        outputs = [convert(r) for r in roots]
         return cls(num_inputs=num_inputs, nodes=nodes, outputs=outputs)
 
 
 _CACHE_DIR = os.path.join(os.path.dirname(__file__), "data")
 
 
+def _validate_loaded(c: MuxCircuit) -> MuxCircuit:
+    """Shape-check an untrusted deserialized circuit (same stance as
+    `utils/serialization.py`): every node/output reference must be a
+    previously-defined node id and every select a valid input index."""
+    for i, node in enumerate(c.nodes):
+        kind = node[0]
+        if kind in ("zero", "one"):
+            continue
+        if kind != "mux" or len(node) != 4:
+            raise ValueError(f"bad node {node!r}")
+        _, sel, lo, hi = node
+        if not (0 <= sel < c.num_inputs and 0 <= lo < i and 0 <= hi < i):
+            raise ValueError(f"bad mux node {node!r} at {i}")
+    for o in c.outputs:
+        if not 0 <= o < len(c.nodes):
+            raise ValueError(f"bad output id {o}")
+    return c
+
+
+def save_circuit(c: MuxCircuit, path: str) -> None:
+    with open(path, "w") as f:
+        json.dump(
+            {"num_inputs": c.num_inputs, "nodes": c.nodes, "outputs": c.outputs}, f
+        )
+
+
+def load_circuit(path: str) -> MuxCircuit:
+    """Load a JSON-serialized circuit (plain ints/lists — no arbitrary
+    code execution, unlike pickle)."""
+    with open(path) as f:
+        d = json.load(f)
+    return _validate_loaded(
+        MuxCircuit(
+            num_inputs=int(d["num_inputs"]),
+            nodes=[tuple(n) for n in d["nodes"]],
+            outputs=[int(o) for o in d["outputs"]],
+        )
+    )
+
+
+def _user_cache_dir() -> str:
+    base = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+        os.path.expanduser("~"), ".cache"
+    )
+    return os.path.join(base, "spf_tpu", "circuits")
+
+
 def cached_circuit(name: str, builder) -> MuxCircuit:
     """Disk cache for expensive circuit builds (≙ `mux_circuits`'s
-    `FileCache` / pre-serialized `src/data` blobs, `cache.rs:1-60`)."""
-    path = os.path.join(_CACHE_DIR, name + ".pkl")
-    if os.path.exists(path):
-        with open(path, "rb") as f:
-            return pickle.load(f)
+    `FileCache` / pre-serialized `src/data` blobs, `cache.rs:1-60`).
+
+    Shipped caches live in the package `data/` dir; user-generated ones
+    go to a per-user cache dir (the install dir may be read-only)."""
+    fname = name + ".json"
+    for d in (_CACHE_DIR, _user_cache_dir()):
+        path = os.path.join(d, fname)
+        if os.path.exists(path):
+            return load_circuit(path)
     circuit = builder()
-    os.makedirs(_CACHE_DIR, exist_ok=True)
-    with open(path, "wb") as f:
-        pickle.dump(circuit, f)
+    for d in (_CACHE_DIR, _user_cache_dir()):
+        try:
+            os.makedirs(d, exist_ok=True)
+            save_circuit(circuit, os.path.join(d, fname))
+            break
+        except OSError:
+            continue
     return circuit

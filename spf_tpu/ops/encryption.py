@@ -144,6 +144,9 @@ def decrypt_glev_at(
     noisy = decrypt_glwe(ct[index], sk, glwe)
     shift = 64 - radix.radix_log * (index + 1)
     mask = U64((1 << radix.radix_log) - 1)
+    if shift == 0:
+        # last row at full torus width: no rounding bit below the value
+        return noisy & mask
     val = noisy >> U64(shift)
     r = (noisy >> U64(shift - 1)) & U64(1)
     return (val + r) & mask

@@ -151,16 +151,49 @@ def noise_exponent_at_depth(depth: float) -> float:
     return -1.0 / (6.162e-6 * (depth + 304.7668)) - 3.3379
 
 
-def security_estimate_ok(lwe: LweDef, level: float = 128.0) -> bool:
-    """Coarse sanity check that (dim, std) is not obviously insecure.
+def security_level(lwe: LweDef) -> float:
+    """Security bits of an LWE instance per the lattice-estimator fit
+    (≙ `SecurityLevel for LweDef`, `sunscreen_tfhe/src/params.rs:176-180`).
+    Raises `utils.security.OutsideConstraintsError` outside the fit's
+    validity region."""
+    from .utils.security import lwe_std_to_security_level
 
-    The reference fits a 2-D polynomial to the lattice estimator
-    (`sunscreen_math/src/security.rs:165,244`); here we use the standard
-    rough rule sigma >= 2^(-0.026*dim - 2) style bound only as a guard in
-    tests, not a precise estimator.
-    """
+    return lwe_std_to_security_level(lwe.dim, lwe.std)
+
+
+def assert_security_level(lwe: LweDef, specified: int, tolerance: float = 0.25):
+    """Assert the instance achieves `specified` bits within +-0.25
+    (≙ `SecurityLevel::assert_security_level`, `params.rs:14-26`)."""
+    got = security_level(lwe)
+    assert abs(got - specified) <= tolerance, (
+        f"security level mismatch: expected {specified}, got {got}"
+    )
+
+
+def security_estimate_ok(lwe: LweDef, level: float = 128.0) -> bool:
+    """True iff (dim, std) achieves at least `level` bits per the
+    lattice-estimator fit (conjunctive on BOTH dim and std — a large
+    dimension with tiny noise does NOT pass). Points outside the fit's
+    validity polytope fail closed, except dimensions above the fit range
+    with noise at/above the fitted band's minimum, which only get more
+    secure with dimension."""
     if lwe.std <= 0:
         return False
-    log_sigma = math.log2(lwe.std)
-    # Very rough: bits ~ 0.0265 * dim / (1 + log2(1/sigma)/64)
-    return lwe.dim >= 300 or log_sigma > -40
+    try:
+        return security_level(lwe) >= level
+    except Exception:
+        # Outside the fit region. Security grows with dimension (at fixed
+        # noise) and with noise (at fixed dimension), so clamp toward the
+        # fitted band from the MORE-secure side only — a conservative
+        # lower bound; too-little-noise points stay rejected.
+        from .utils.security import lwe_std_to_security_level
+
+        dim = min(lwe.dim, 2048)
+        log_std = math.log10(lwe.std)
+        band_top = 0.7390928205510939 - 0.0077927720025765665 * dim
+        if log_std < band_top:
+            return False  # less noise than the fitted band: fail closed
+        try:
+            return lwe_std_to_security_level(dim, 10.0 ** (band_top - 1e-9)) >= level
+        except Exception:
+            return False

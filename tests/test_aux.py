@@ -107,3 +107,102 @@ class TestNoise:
         assert all(s.log2_max < 55 for s in stats), stats
         # and nondecreasing-ish with depth
         assert stats[-1].log2_std >= stats[0].log2_std - 1.0
+
+
+class TestSecurityEstimator:
+    """2-D lattice-estimator fit (≙ `sunscreen_math/src/security.rs`
+    tests + doctests)."""
+
+    def test_round_trip_security_to_std_and_back(self):
+        # The reference's own test: level -> std -> level within 0.05
+        # bits over the validity region (`security.rs:300-330`);
+        # sampled grid for speed.
+        from spf_tpu.utils.security import (
+            OutsideConstraintsError,
+            lwe_security_level_to_std,
+            lwe_std_to_security_level,
+        )
+
+        checked = 0
+        for dimension in range(368, 2049, 40):
+            for level in range(80, 129, 4):
+                try:
+                    std = lwe_security_level_to_std(dimension, float(level))
+                    recovered = lwe_std_to_security_level(dimension, std)
+                except OutsideConstraintsError:
+                    continue
+                assert abs(recovered - level) < 0.05, (dimension, level, recovered)
+                checked += 1
+        assert checked > 100
+
+    def test_gaussian_tail(self):
+        # reference doctest: P(|X| > sigma) ~ 0.3173
+        from spf_tpu.utils.security import probability_away_from_mean_gaussian
+
+        p = 10.0 ** probability_away_from_mean_gaussian(1.0, 1.0)
+        assert round(p * 10000.0) / 10000.0 == 0.3173
+        # high-ratio quintic branch: monotonically decreasing, sane value
+        lp10 = probability_away_from_mean_gaussian(10.0, 1.0)
+        assert -25 < lp10 < -20  # true value ~1.5e-23
+        assert probability_away_from_mean_gaussian(20.0, 1.0) < lp10
+
+    def test_validity_polytope(self):
+        from spf_tpu.utils.security import (
+            OutsideConstraintsError,
+            lwe_security_level_to_std,
+            lwe_std_to_security_level,
+        )
+        import pytest
+
+        with pytest.raises(OutsideConstraintsError):
+            lwe_security_level_to_std(100, 128.0)  # dim below fit range
+        with pytest.raises(OutsideConstraintsError):
+            lwe_security_level_to_std(1472, 70.0)  # below min level
+        with pytest.raises(OutsideConstraintsError):
+            lwe_std_to_security_level(637, 2.0**-200)  # absurdly small noise
+
+    def test_guard_is_conjunctive(self):
+        # The ADVICE counterexample: huge dim with tiny noise must FAIL
+        from spf_tpu.params import (
+            GLWE_1_2048_128,
+            LWE_512_128,
+            LWE_637_128,
+            LweDef,
+            security_estimate_ok,
+        )
+
+        assert not security_estimate_ok(LweDef(637, 2.0**-200))
+        assert not security_estimate_ok(LweDef(2048, 1e-30))
+        assert not security_estimate_ok(LweDef(100, 0.5))
+        # all named 128-bit sets pass
+        assert security_estimate_ok(LWE_637_128, 128)
+        assert security_estimate_ok(LWE_512_128, 128)
+        assert security_estimate_ok(GLWE_1_2048_128.as_lwe_def(), 128)
+
+
+class TestCombinatorics:
+    def test_number_combinations(self):
+        import math
+
+        from spf_tpu.utils.combinatorics import number_combinations
+
+        assert number_combinations(3, 5) == 0
+        assert number_combinations(5, 0) == 1
+        assert number_combinations(5, 5) == 1
+        for n in range(1, 12):
+            for k in range(0, n + 1):
+                assert number_combinations(n, k) == math.comb(n, k)
+
+    def test_index_round_trip(self):
+        import itertools
+
+        from spf_tpu.utils.combinatorics import Combinations
+
+        c = Combinations(7, 3)
+        combos = list(itertools.combinations(range(7), 3))
+        assert c.number_combinations() == len(combos)
+        for i, combo in enumerate(combos):
+            assert c.get_index(list(combo)) == i
+            assert c.at_index(i) == list(combo)
+        assert c.at_index(len(combos)) is None
+        assert list(c) == [list(x) for x in combos]

@@ -234,3 +234,17 @@ class TestGoldilocksNtt:
             for j in range(n):
                 exp[(i + j) % n] = (exp[(i + j) % n] + b[i] * sm[j]) % ntt.GOLDILOCKS_P
         assert got == exp
+
+
+class TestModulusSwitchReferenceVectors:
+    def test_reference_vectors(self):
+        """The reference's own test vectors for `modulus_switch`
+        (`sunscreen_tfhe/src/ops/ciphertext/lwe_ciphertext_ops.rs:146-163`)."""
+        from spf_tpu.ops.ciphertext import modulus_switch
+        from spf_tpu.ops.torus import u64
+
+        x = u64(0xDEADBEEF_BEEFDEAD)
+        assert int(modulus_switch(x, 0, 0, 10)) == 0b11_0111_1011
+        assert int(modulus_switch(x, 2, 0, 10)) == 0b01_1110_1011
+        assert int(modulus_switch(x, 0, 3, 10)) == 0b11_0111_1000
+        assert int(modulus_switch(x, 2, 3, 10)) == 0b01_1110_1000
