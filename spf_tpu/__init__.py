@@ -14,13 +14,19 @@ Design stance (vs. the Rust reference): never execute one gate; execute a
 *batch* of identical FHE gates as one fused kernel under `jit`, and scale
 by sharding ciphertext batches over a TPU mesh.
 
-x64 mode is required (u64 torus arithmetic). Importing this package
-enables it.
+x64 mode is required for the u64 torus path; importing this package
+enables it. The x64-free TPU production path (u32-limb torus arrays +
+Pallas kernels, `ops/limb32.py` / `ops/bootstrap_u32.py`) opts out by
+setting SPF_TPU_X32=1 in the environment before import — Mosaic kernels
+cannot compile in x64 mode.
 """
+
+import os as _os
 
 import jax as _jax
 
-_jax.config.update("jax_enable_x64", True)
+if _os.environ.get("SPF_TPU_X32", "") != "1":
+    _jax.config.update("jax_enable_x64", True)
 
 from . import params  # noqa: E402,F401
 from .params import (  # noqa: E402,F401

@@ -94,10 +94,12 @@ def from_f64_array(x):
 def from_i64(x):
     """Convert i64 values (|x| < 2^63) to ds pairs capturing the top ~48
     bits."""
-    hi = x.astype(F32)
-    # cast back can clamp at the int64 boundary; the residual stays small
-    # either way
-    r = x - jnp.clip(hi, -(2.0**63), 2.0**63 - 2.0**40).astype(jnp.int64)
+    # clamp the hi component itself below +2^63: f32(2^63-1) rounds UP to
+    # 2^63, whose i64 cast clamps — computing the residual against a
+    # different value than the stored hi would leave a ~2^40 error at the
+    # boundary (2^63 - 2^40 is exactly representable in f32)
+    hi = jnp.minimum(x.astype(F32), F32(2.0**63 - 2.0**40))
+    r = x - hi.astype(jnp.int64)
     lo = r.astype(F32)
     return hi, lo
 

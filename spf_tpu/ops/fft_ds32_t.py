@@ -120,7 +120,9 @@ def _tables(k: int, inverse: bool):
         return out
 
     freq_at_pos = perm(k, radices)
-    br = np.zeros(k, dtype=np.int64)
+    # i32 indices: these appear inside the x32-only (Mosaic-compatible)
+    # limb pipeline graphs, which must stay free of 64-bit dtypes
+    br = np.zeros(k, dtype=np.int32)
     br[np.asarray(freq_at_pos)] = np.arange(k)
     return big, small, br
 

@@ -52,6 +52,11 @@ from . import ds
 
 LANES = 128
 
+# Mosaic does not reuse stack slots across the unrolled stages, so the
+# kernel needs ~45 MB of scoped VMEM at N=2048; v5e has 128 MB physical
+# VMEM and tolerates a raised per-kernel limit.
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
 
 def _i32(x):
     # index maps must stay i32 for Mosaic even in x64 mode
@@ -279,6 +284,7 @@ def fwd_ds(hi: jnp.ndarray, lo: jnp.ndarray, interpret: bool = False):
         out_shape=out_shape,
         scratch_shapes=_scratches(k),
         interpret=interpret,
+        compiler_params=None if interpret else _COMPILER_PARAMS,
     )(jnp.asarray(consts), hi2, lo2)
     return tuple(o.reshape(*lead, k, b) for o in outs)
 
@@ -312,6 +318,7 @@ def inv_ds(f, interpret: bool = False):
         out_shape=out_shape,
         scratch_shapes=_scratches(k),
         interpret=interpret,
+        compiler_params=None if interpret else _COMPILER_PARAMS,
     )(jnp.asarray(consts), *f2)
     return tuple(o.reshape(*lead, n, b) for o in outs)
 

@@ -89,7 +89,9 @@ def generate_automorphism_keys(
     from the mapped key s(X^k) back to s (`ops/automorphisms/mod.rs:18-44`).
 
     Returns the keys already in the frequency domain, stacked:
-    freq [log2(N), k, count, k+1, N/2].
+    freq [log2(N), k, count, k+1, N/2]. With `be=None` returns the
+    coefficient-domain u64 stack [log2(N), k, count, k+1, N] instead
+    (for the x32 pipeline, which FFTs with its own ds32 backend).
     """
     n = glwe.degree
     log_n = glwe.log_degree
@@ -99,5 +101,7 @@ def generate_automorphism_keys(
         k_exp = n // (1 << (i - 1)) + 1
         sk_k = jnp.stack([pow_k(glwe_sk[r], k_exp) for r in range(glwe.size)], axis=0)
         ksk = generate_glwe_keyswitch_key(keys[i - 1], sk_k, glwe_sk, glwe, radix)
-        ksks.append(be.fwd_torus(ksk))
+        ksks.append(ksk if be is None else be.fwd_torus(ksk))
+    if be is None:
+        return jnp.stack(ksks, axis=0)
     return be.stack(ksks, axis=0)

@@ -26,7 +26,8 @@ def generate_scheme_switch_key(
     return it in the frequency domain: freq [k, k, count, k+1, N/2].
 
     The reference computes s_i*s_j with its f64 FFT (exact for binary
-    inputs); we use the exact integer product.
+    inputs); we use the exact integer product. With `be=None` the
+    coefficient-domain u64 array [k, k, count, k+1, N] is returned.
     """
     k = glwe.size
     rows = []
@@ -39,4 +40,4 @@ def generate_scheme_switch_key(
             cols.append(enc.encrypt_glev(subkey, s_ij, glwe_sk, glwe, radix))
         rows.append(jnp.stack(cols, axis=0))
     ssk = jnp.stack(rows, axis=0)
-    return be.fwd_torus(ssk)
+    return ssk if be is None else be.fwd_torus(ssk)
