@@ -98,15 +98,19 @@ def generate_lut(maps, glwe: GlweDef, plaintext_bits: int) -> jnp.ndarray:
     `maps` are python callables evaluated at trace time (static).
     Returns the trivial GLWE u64 [k+1, N].
     """
+    return jnp.asarray(generate_lut_np(maps, glwe, plaintext_bits))
+
+
+def generate_lut_np(maps, glwe: GlweDef, plaintext_bits: int):
+    """Numpy (host-side) variant of `generate_lut` for x32 processes,
+    where a jnp u64 array would silently downcast."""
     p = 1 << plaintext_bits
     n = glwe.degree
     v = len(maps)
-    log_v = (v - 1).bit_length()
-    ceil_v = 1 << log_v
+    ceil_v = 1 << (v - 1).bit_length()
     assert n >= p
     stride = n // p
     delta = 64 - plaintext_bits
-
     c = np.zeros(n, dtype=np.uint64)
     for j in range(p):
         for kk in range(stride):
@@ -117,10 +121,9 @@ def generate_lut(maps, glwe: GlweDef, plaintext_bits: int) -> jnp.ndarray:
                 c[j * stride + kk] = np.uint64(p_i) << np.uint64(delta)
     c[: stride // 2] = np.uint64(0) - c[: stride // 2]
     c = np.roll(c, -(stride // 2))
-
     lut = np.zeros((glwe.size + 1, n), dtype=np.uint64)
     lut[-1] = c
-    return jnp.asarray(lut)
+    return lut
 
 
 def blind_rotate(

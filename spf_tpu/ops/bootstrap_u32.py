@@ -91,12 +91,29 @@ def bsk_to_freq_u32(coeff_np, use_pallas=False):
     """Host-side: any coefficient-domain u64 key array [..., N] ->
     freq tuple [..., N/2] in the order of the chosen backend (broadcast
     over batch lanes at use sites). Used for BSK, automorphism and
-    scheme-switch keys alike."""
-    limbs = lb.from_u64_np(coeff_np)
-    f = jax.jit(lambda a: fwd_limb(a, use_pallas=use_pallas))(
-        tuple(c[..., None] for c in limbs)
+    scheme-switch keys alike.
+
+    The polynomials are repacked onto the LANE axis ([N, P] with all
+    leading dims flattened to P, padded to a multiple of 128) — the
+    naive [..., N, 1] singleton-lane conversion OOMed HBM at
+    DEFAULT_128 key sizes."""
+    import numpy as np
+
+    coeff_np = np.asarray(coeff_np)
+    shp = coeff_np.shape
+    n = shp[-1]
+    p = int(np.prod(shp[:-1]))
+    x = np.ascontiguousarray(coeff_np.reshape(p, n).T)  # [N, P]
+    pad = (-p) % 128
+    if pad:
+        x = np.concatenate([x, np.zeros((n, pad), x.dtype)], axis=1)
+    limbs = lb.from_u64_np(x)
+    f = jax.jit(lambda a: fwd_limb(a, use_pallas=use_pallas))(limbs)
+    f = tuple(np.asarray(jax.device_get(c))[:, :p] for c in f)  # [K, P]
+    return tuple(
+        jnp.asarray(np.ascontiguousarray(c.T).reshape(*shp[:-1], n // 2))
+        for c in f
     )
-    return tuple(c[..., 0] for c in f)
 
 
 def monomial_mul_u32(a, t: jnp.ndarray):
@@ -116,17 +133,13 @@ def monomial_mul_u32(a, t: jnp.ndarray):
     return lb.where(bit_n, lb.neg(out), out)
 
 
-def external_product_u32(
-    glwe, ggsw_freq_row, glwe_def: GlweDef, radix: RadixDecomposition, use_pallas=None
-):
-    """glwe limb pair [k+1, N, B] ⊡ GGSW scrambled-freq row (components
-    [k+1, l, k+1, K] or batched [k+1, l, k+1, K, B]) -> freq tuple
-    [k+1, K, B]."""
+def freq_mad(dfft, ggsw_freq_row, glwe_def: GlweDef, radix: RadixDecomposition):
+    """Frequency-domain MAD: digit spectra [l, k+1, K, B] x GGSW row
+    (components [k+1, l, k+1, K] or batched [k+1, l, k+1, K, B]) ->
+    freq tuple [k+1, K, B]."""
     kp1 = glwe_def.size + 1
     k2 = glwe_def.degree // 2
-    bb = glwe[0].shape[-1]
-    digits = lb.decompose(glwe, radix)  # i32 [l, k+1, N, B]
-    dfft = fwd_signed(digits, use_pallas)  # tuple [l, k+1, K, B]
+    bb = dfft[0].shape[-1]
     acc = zeros_t((kp1, k2, bb))
     batched_sel = ggsw_freq_row[0].ndim == 5
     for i in range(kp1):
@@ -138,6 +151,16 @@ def external_product_u32(
                 g = tuple(c[i, j, :, :, None] for c in ggsw_freq_row)  # [k+1, K, 1]
             acc = _cadd(acc, _cmul(d, g))
     return acc
+
+
+def external_product_u32(
+    glwe, ggsw_freq_row, glwe_def: GlweDef, radix: RadixDecomposition, use_pallas=None
+):
+    """glwe limb pair [k+1, N, B] ⊡ GGSW freq row -> freq tuple
+    [k+1, K, B]."""
+    digits = lb.decompose(glwe, radix)  # i32 [l, k+1, N, B]
+    dfft = fwd_signed(digits, use_pallas)  # tuple [l, k+1, K, B]
+    return freq_mad(dfft, ggsw_freq_row, glwe_def, radix)
 
 
 def cmux_u32(d0, d1, ggsw_freq_row, glwe_def, radix, use_pallas=None):
@@ -157,9 +180,14 @@ def blind_rotate_u32(
     glwe: GlweDef,
     radix: RadixDecomposition,
     use_pallas=None,
+    fuse_rot=False,
 ):
     """lut limb pair [k+1, N, B] (broadcastable), ct u32 [n0+1, B] with
-    phases < 2N."""
+    phases < 2N.
+
+    `fuse_rot=True` computes each step's rotation+subtract+decomposition
+    in one VMEM-resident Pallas kernel (`rot_decomp_pallas`) — the
+    separate XLA ops are HBM-bound and dominate the step."""
     a = ct_switched[:-1]  # [n0, B]
     b = ct_switched[-1]  # [B]
     bb = ct_switched.shape[-1]
@@ -167,10 +195,27 @@ def blind_rotate_u32(
     lut_b = (jnp.broadcast_to(lut_limb[0], shape), jnp.broadcast_to(lut_limb[1], shape))
     acc = monomial_mul_u32(lut_b, U32(2 * glwe.degree) - b)
 
-    def body(i, acc):
-        rotated = monomial_mul_u32(acc, a[i])
-        row = tuple(c[i] for c in bsk_freq)
-        return cmux_u32(acc, rotated, row, glwe, radix, use_pallas)
+    if fuse_rot:
+        from .rot_decomp_pallas import rotate_sub_decompose
+
+        def body(i, acc):
+            digits_f = rotate_sub_decompose(acc, a[i], radix)
+            hi = digits_f
+            dfft = (
+                fp.fwd_ds(hi, jnp.zeros_like(hi))
+                if use_pallas
+                else _fwd_ds_xla(hi, jnp.zeros_like(hi))
+            )
+            prod_f = freq_mad(dfft, tuple(c[i] for c in bsk_freq), glwe, radix)
+            prod = inv_limb(prod_f, use_pallas)
+            return lb.add(acc, prod)
+
+    else:
+
+        def body(i, acc):
+            rotated = monomial_mul_u32(acc, a[i])
+            row = tuple(c[i] for c in bsk_freq)
+            return cmux_u32(acc, rotated, row, glwe, radix, use_pallas)
 
     return jax.lax.fori_loop(0, lwe.dim, body, acc)
 
@@ -207,6 +252,7 @@ def programmable_bootstrap_u32(
     glwe: GlweDef,
     radix: RadixDecomposition,
     use_pallas=None,
+    fuse_rot=False,
 ):
     """Univariate PBS: LWE limb pair [n0+1, B] -> LWE limb pair
     [k*N+1, B] under the flattened GLWE key. `lut_limb` is the standard
@@ -214,5 +260,7 @@ def programmable_bootstrap_u32(
     two_n = glwe.log_degree + 1
     ct_sw = lb.modulus_switch(ct, 0, 0, two_n)
     lut_t = tuple(c[..., None] for c in lut_limb)
-    rotated = blind_rotate_u32(lut_t, ct_sw, bsk_freq, lwe, glwe, radix, use_pallas)
+    rotated = blind_rotate_u32(
+        lut_t, ct_sw, bsk_freq, lwe, glwe, radix, use_pallas, fuse_rot
+    )
     return sample_extract_u32(rotated, 0, glwe)

@@ -1,0 +1,92 @@
+"""Fused Pallas kernel: per-batch monomial rotation + subtract + signed
+gadget decomposition, VMEM-resident.
+
+This is the coefficient-domain half of every blind-rotation step. As
+separate XLA ops it is HBM-bound: the 12 bit-select roll rounds plus
+the decompose each stream the [k+1, N, B] accumulator to HBM per round
+(measured 548 + 526 us at DEFAULT_128, B=256 — ~85% of the whole step).
+Fused in VMEM the same work is one read of the accumulator and one
+write of the digit planes.
+
+Semantics: digits = decompose(acc * X^t - acc) with t per batch lane,
+bit-identical to `bootstrap_u32.monomial_mul_u32` + `limb32.sub` +
+`limb32.decompose` (tested against them). Requires an x32 process
+(SPF_TPU_X32=1) on TPU; CPU tests run in interpret mode.
+
+≙ reference `rotate_glwe_positive_monomial_negacyclic` + cmux's
+decomposition (`programmable_bootstrapping.rs:385-409`,
+`math/radix.rs:35-46`) — redesigned as one fused vector kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..params import RadixDecomposition
+from . import limb32 as lb
+
+LANES = 128
+U32 = jnp.uint32
+
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
+def _rotate_limb_rolls(acc, t, n: int):
+    """acc = (hi, lo) [N, B_tile]; t u32 [1, B_tile] < 2N. Bit-selected
+    static rolls (unrolled python loop: Mosaic reuses nothing across a
+    fori_loop body's pltpu.roll of dynamic shift, and 12 static rounds
+    compile fine)."""
+    out = acc
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    for i in range(n.bit_length() - 1):
+        s = 1 << i
+        rolled = (
+            pltpu.roll(out[0], np.int32(s), axis=0),
+            pltpu.roll(out[1], np.int32(s), axis=0),
+        )
+        sign = rows < s  # [N, 1]
+        rolled = lb.where(sign, lb.neg(rolled), rolled)
+        bit = ((t >> U32(i)) & U32(1)) > 0  # [1, B]
+        out = lb.where(bit, rolled, out)
+    bit_n = ((t >> U32(n.bit_length() - 1)) & U32(1)) > 0
+    return lb.where(bit_n, lb.neg(out), out)
+
+
+def _kernel(t_ref, hi_ref, lo_ref, dig_ref, *, n, radix):
+    acc = (hi_ref[0], lo_ref[0])
+    t = t_ref[...]  # [1, B_tile]
+    rot = _rotate_limb_rolls(acc, t, n)
+    diff = lb.sub(rot, acc)
+    digs = lb.decompose(diff, radix)  # i32 [count, N, B_tile]
+    dig_ref[...] = digs[:, None].astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("radix", "interpret"))
+def rotate_sub_decompose(acc, t, radix: RadixDecomposition, interpret=False):
+    """acc limb pair [k+1, N, B], t u32 [B] -> digit planes f32
+    [count, k+1, N, B] of (acc*X^t - acc), ready for the signed FFT.
+    B must be a multiple of 128."""
+    kp1, n, b = acc[0].shape
+    assert b % LANES == 0, b
+    t2 = jnp.broadcast_to(t.astype(U32)[None, :], (1, b))
+    grid = (kp1, b // LANES)
+    kern = functools.partial(_kernel, n=n, radix=radix)
+    t_spec = pl.BlockSpec((1, LANES), lambda i, j: (0, j))
+    a_spec = pl.BlockSpec((1, n, LANES), lambda i, j: (i, 0, j))
+    d_spec = pl.BlockSpec((radix.count, 1, n, LANES), lambda i, j: (0, i, 0, j))
+    out_shape = jax.ShapeDtypeStruct((radix.count, kp1, n, b), jnp.float32)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[t_spec, a_spec, a_spec],
+        out_specs=d_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+        compiler_params=None if interpret else _COMPILER_PARAMS,
+    )(t2, acc[0], acc[1])
