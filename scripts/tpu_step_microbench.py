@@ -87,10 +87,54 @@ def cmux_only(acc):
     return bu.cmux_u32(acc, acc, row, glwe, radix, use_pallas=USE_PALLAS)
 
 
+from spf_tpu.ops.rot_decomp_pallas import rotate_sub_decompose
+
+
+def fused_rot_decomp(acc):
+    return _mix(acc, rotate_sub_decompose(acc, t_arr, radix))
+
+
+def fused_step(acc):
+    digits_f = rotate_sub_decompose(acc, t_arr, radix)
+    dfft = (
+        bu.fwd_signed(digits_f, use_pallas=True)
+        if USE_PALLAS
+        else bu._fwd_ds_xla(digits_f, jnp.zeros_like(digits_f))
+    )
+    prod_f = bu.freq_mad(dfft, row, glwe, radix)
+    prod = bu.inv_limb(prod_f, use_pallas=USE_PALLAS)
+    return lb.add(acc, prod)
+
+
+def fwd_digits_only(acc):
+    digits_f = rotate_sub_decompose(acc, t_arr, radix)
+    f = (
+        bu.fwd_signed(digits_f, use_pallas=True)
+        if USE_PALLAS
+        else bu._fwd_ds_xla(digits_f, jnp.zeros_like(digits_f))
+    )
+    return _mix(acc, f[0])
+
+
+accf = tuple(
+    jnp.asarray(rng.standard_normal((kp1, K, B)).astype(np.float32) * s)
+    for s in (2**40, 1.0, 2**40, 1.0)
+)
+
+
+def inv_tail(acc):
+    prod = bu.inv_limb(accf, use_pallas=USE_PALLAS)
+    return lb.add(acc, prod)
+
+
 timed("monomial_mul", mono_only, acc)
 timed("decompose", decomp_only, acc)
 timed("decompose+fwd", fwd_only, acc)
 timed("external_product(+fwd)", extprod_only, acc)
 timed("cmux (full)", cmux_only, acc)
 timed("step (mono+cmux)", full_step, acc)
+timed("rot_decomp (pallas fused)", fused_rot_decomp, acc)
+timed("rot_decomp+fwd", fwd_digits_only, acc)
+timed("inv+from_ds+add tail", inv_tail, acc)
+timed("step (fused u32f)", fused_step, acc)
 print("MICRO_OK", flush=True)

@@ -115,10 +115,11 @@ def _multiplier_impl(n: int, m: int) -> MuxCircuit:
 
 def unsigned_multiplier(n: int, m: int) -> MuxCircuit:
     """n x m -> n+m bit unsigned multiplier, disk-cached for common
-    sizes (≙ `mul.rs:62-69`). Widths above CIRCUIT_CUTOFF should be
+    sizes (≙ `mul.rs:62-69`; the reference ships n8/n16/n32 blobs in
+    `mux_circuits/src/data/`). Widths above CIRCUIT_CUTOFF should be
     composed via gradeschool partitioning (`mul.rs:264`
     partition_integer), not built as one BDD."""
-    if n == m and n in (8, 16):
+    if n == m and n in (8, 16, 32):
         return cached_circuit(f"multiplier-n{n}-m{m}", lambda: _multiplier_impl(n, m))
     return _multiplier_impl(n, m)
 
@@ -136,6 +137,132 @@ def partition_integer(n: int) -> tuple:
     upper = n // 2
     lower = n - upper
     return (lower, upper)
+
+
+def mixed_width_adder(n: int, m: int) -> MuxCircuit:
+    """Ripple adder between an n-bit and an m-bit integer, producing
+    max(n, m) + 1 bits (top bit = carry out). Input layout matches the
+    reference (`add.rs:13-56`): a and b interleaved until the shorter
+    operand is exhausted, then the remaining bits of the longer one."""
+    assert n > 0 and m > 0
+    lo, hi = min(n, m), max(n, m)
+    mgr = BddManager(n + m)
+    carry = mgr.FALSE
+    outs = []
+    for i in range(lo):
+        a, b = mgr.var(2 * i), mgr.var(2 * i + 1)
+        axb = mgr.xor(a, b)
+        outs.append(mgr.xor(axb, carry))
+        carry = mgr.or_(mgr.and_(axb, carry), mgr.and_(a, b))
+    for i in range(hi - lo):
+        a = mgr.var(2 * lo + i)
+        outs.append(mgr.xor(a, carry))
+        carry = mgr.and_(a, carry)
+    outs.append(carry)
+    return MuxCircuit.from_bdds(mgr, outs)
+
+
+def _partial_product_windows(n: int, m: int) -> list:
+    """Column spans [start, end) of the 4 gradeschool partial products
+    x = a_hi<<a_lo | a_lo, y = b_hi<<b_lo | b_lo, in the per-column
+    emission order of `mul.rs:308-386`: ll, hl, lh, hh."""
+    a_lo, a_hi = partition_integer(n)
+    b_lo, b_hi = partition_integer(m)
+    return [
+        (0, a_lo + b_lo),  # a_lo * b_lo
+        (a_lo, a_lo + a_hi + b_lo),  # a_hi * b_lo << a_lo
+        (b_lo, b_lo + a_lo + b_hi),  # a_lo * b_hi << b_lo
+        (a_lo + b_lo, n + m),  # a_hi * b_hi << (a_lo + b_lo)
+    ]
+
+
+def encode_gradeschool_reduction(
+    n: int, m: int, a_lo_b_lo, a_hi_b_lo, a_lo_b_hi, a_hi_b_hi
+) -> list:
+    """Interleave the 4 partial-product bit lists column-major (LSB
+    column first) for `gradeschool_reduce` (≙ `mul.rs:286-386`; the
+    six explicit sections there are exactly this coverage walk).
+    Element type is arbitrary (ints for tests, graph node ids in the
+    fluent layer)."""
+    assert n >= m
+    windows = _partial_product_windows(n, m)
+    parts = [a_lo_b_lo, a_hi_b_lo, a_lo_b_hi, a_hi_b_hi]
+    for p, (s, e) in zip(parts, windows):
+        assert len(p) == e - s, (len(p), s, e)
+    out = []
+    for j in range(n + m):
+        for p, (s, e) in zip(parts, windows):
+            if s <= j < e:
+                out.append(p[j - s])
+    return out
+
+
+def _count_ones(mgr, bits: list) -> list:
+    """Binary counter of a list of BDD bits via carry-save full/half
+    adders; returns LSB-first count bits (no trailing zeros)."""
+    levels = [list(bits)]
+    d = 0
+    out = []
+    while d < len(levels):
+        lev = levels[d]
+        while len(lev) >= 2:
+            if len(lev) >= 3:
+                a, b, c = lev.pop(), lev.pop(), lev.pop()
+                axb = mgr.xor(a, b)
+                s = mgr.xor(axb, c)
+                carry = mgr.or_(mgr.and_(axb, c), mgr.and_(a, b))
+            else:
+                a, b = lev.pop(), lev.pop()
+                s = mgr.xor(a, b)
+                carry = mgr.and_(a, b)
+            lev.append(s)
+            if d + 1 == len(levels):
+                levels.append([])
+            levels[d + 1].append(carry)
+        out.append(lev[0] if lev else mgr.FALSE)
+        d += 1
+    while out and out[-1] == mgr.FALSE:
+        out.pop()
+    return out
+
+
+def _gradeschool_reduce_impl(n: int, m: int) -> MuxCircuit:
+    """4-way column-compressor sum of the gradeschool partial products
+    (≙ `mul.rs:428-585` gradeschool_reduce_impl; that code tracks the
+    per-section carry budget by hand — here a generic binary counter per
+    column produces the identical function). Input layout is the
+    `encode_gradeschool_reduction` order; output is the n+m-bit
+    product."""
+    assert n >= m
+    windows = _partial_product_windows(n, m)
+    mgr = BddManager(2 * (n + m))
+    v = 0
+    outs = []
+    carries: dict[int, list] = {}
+    for j in range(n + m):
+        bits = []
+        for s, e in windows:
+            if s <= j < e:
+                bits.append(mgr.var(v))
+                v += 1
+        bits.extend(carries.pop(j, []))
+        cnt = _count_ones(mgr, bits)
+        outs.append(cnt[0] if cnt else mgr.FALSE)
+        for d in range(1, len(cnt)):
+            if j + d < n + m:  # the product fits in n+m bits
+                carries.setdefault(j + d, []).append(cnt[d])
+    assert v == 2 * (n + m)
+    return MuxCircuit.from_bdds(mgr, outs)
+
+
+def gradeschool_reduce(n: int, m: int) -> MuxCircuit:
+    """Disk-cached gradeschool reduction (≙ `mul.rs:391-398`; the
+    reference ships `gradeschool-reduction-n64-m64`)."""
+    if (n, m) == (64, 64):
+        return cached_circuit(
+            "gradeschool-reduction-n64-m64", lambda: _gradeschool_reduce_impl(n, m)
+        )
+    return _gradeschool_reduce_impl(n, m)
 
 
 def compare_equal(n: int) -> MuxCircuit:

@@ -92,6 +92,14 @@ class Memory:
                 self.store_byte(base + i * 8 + b, (word >> (8 * b)) & 0xFF)
         return base
 
+    def iter_enc_bytes(self):
+        """Yield every EncByte currently stored (architectural ciphertext
+        state; used by the processor's deferred-graph flush)."""
+        for page in self.pages.values():
+            for b in page:
+                if isinstance(b, EncByte):
+                    yield b
+
     # --- byte access ---
 
     def load_byte(self, addr: int):

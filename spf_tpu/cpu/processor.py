@@ -3,16 +3,25 @@
 (≙ reference `parasol_cpu/src/proc/fhe_processor.rs` + `proc/ops/*`.)
 
 Architecture note: the reference couples a Tomasulo out-of-order
-dispatcher to a rayon thread pool to expose gate parallelism. Here the
-parallelism lives *inside* each instruction: an encrypted op lowers to
-a mux circuit whose gates execute as batched XLA kernels (and the whole
-wave can be batched across SIMD program executions). The front-end is
-therefore a simple in-order fetch/decode/execute loop with the same
-observable semantics: plaintext-only branches, gas accounting,
-first-error faulting, plaintext fast paths.
+dispatcher to a rayon thread pool to overlap the crypto of many
+in-flight instructions (`fhe_processor.rs:309-401`, `src/tomasulo/`).
+The TPU-native equivalent implemented here is *deferred dataflow
+accumulation*: because branch conditions must be plaintext
+(`Error::BranchConditionNotPlaintext`), control flow never depends on
+ciphertext values, so every encrypted op can lower lazily into ONE
+growing `FheCircuit` whose outputs are `LazyCt` handles held in
+registers and memory. The graph is flushed (levelized + executed as
+wide batched XLA waves) only when an observable boundary is reached:
+program end, a debug handler touching ciphertext, or the gate budget
+(flow control ≙ `circuit_processor/mod.rs:83-99`). This recovers MORE
+instruction-level parallelism than Tomasulo — the whole program's gate
+DAG is scheduled at once — while the front-end stays a simple in-order
+fetch/decode loop with the same observable semantics: plaintext-only
+branches, gas accounting, first-error faulting, plaintext fast paths.
 
 Register file: 64 registers (`fhe_processor.rs:136`), each Plaintext
-{val, width} or Ciphertext (list of L1 GLWE bit handles, LSB-first).
+{val, width} or Ciphertext (list of L1 GLWE bit handles, LSB-first;
+a handle is a concrete GLWE array or an unresolved `LazyCt`).
 """
 
 from __future__ import annotations
@@ -62,7 +71,27 @@ class CtVal:
     width: int
 
 
+class LazyCt:
+    """Unresolved GLWE bit: a node in the processor's pending circuit.
+
+    Holds the producing node id until `FheComputer.flush` executes the
+    pending graph and fills `value` (≙ the reference's ROB entry whose
+    result arrives via CompletionHandler, `tomasulo/registers.rs:48`).
+    """
+
+    __slots__ = ("node", "value")
+
+    def __init__(self, node: int):
+        self.node = node
+        self.value = None
+
+
 class FheComputer:
+    # flush the pending graph when it grows past this many nodes —
+    # bounds peak HBM like the reference's sync_channel flow control
+    # (`circuit_processor/mod.rs:83-99`)
+    FLUSH_NODE_BUDGET = 200_000
+
     def __init__(self, ev: Evaluation):
         self.ev = ev
         self.ex = CircuitExecutor(ev)
@@ -70,6 +99,131 @@ class FheComputer:
         self.gas_used = 0
         self.gas_limit = None
         self.debug_handlers: dict[int, object] = {}
+        # two shared trivial GLWE bit handles: identity-checked so the
+        # graph builder can fold lifted plaintext bits into GGSW consts
+        self._triv_bits = (
+            ev.enc.trivial_glwe_l1_zero(),
+            ev.enc.trivial_glwe_l1_one(),
+        )
+        self.flush_count = 0
+        self._new_pending()
+
+    # ------------------------------------------------------------------
+    # deferred-graph plumbing
+    # ------------------------------------------------------------------
+
+    def _new_pending(self):
+        self.pending = FheCircuit()
+        self.pending_inputs: dict[str, object] = {}
+        self._in_ctr = 0
+        self._lazy: list[LazyCt] = []
+        # caches, all keyed per pending epoch:
+        self._input_nodes: dict[int, int] = {}  # id(concrete ct) -> input node
+        self._input_keep: list = []  # keep id()'d cts alive
+        self._ggsw_cache: dict[object, int] = {}  # bit key -> GGSW node
+        self._const_nodes: dict[FheOp, int] = {}
+
+    def _const_node(self, op: FheOp) -> int:
+        if op not in self._const_nodes:
+            self._const_nodes[op] = self.pending.add_node(op)
+        return self._const_nodes[op]
+
+    def _glwe_node(self, bit) -> int:
+        """Node producing this GLWE bit inside the pending graph."""
+        if isinstance(bit, LazyCt):
+            if bit.value is None:
+                return bit.node
+            bit = bit.value  # resolved in an earlier epoch: treat as concrete
+        if bit is self._triv_bits[0]:
+            return self._const_node(FheOp.ZERO_GLWE1)
+        if bit is self._triv_bits[1]:
+            return self._const_node(FheOp.ONE_GLWE1)
+        node = self._input_nodes.get(id(bit))
+        if node is None:
+            key = f"__in{self._in_ctr}"
+            self._in_ctr += 1
+            node = self.pending.add_node(FheOp.INPUT_GLWE1, key)
+            self.pending_inputs[key] = bit
+            self._input_nodes[id(bit)] = node
+            self._input_keep.append(bit)
+        return node
+
+    def _bit_ggsw(self, bit) -> int:
+        """GGSW-producing node for a select wire. Lifted plaintext bits
+        fold to the precomputed GGSW constants (≙ `evaluation.rs:161-196`
+        GGSW 0/1 precompute); everything else goes through the
+        conversion cycle GLWE1 -> LWE1 -> LWE0 -> (CBS) -> GGSW1, cached
+        per source bit so one register bit used by many instructions is
+        bootstrapped only once."""
+        if bit is self._triv_bits[0]:
+            return self._const_node(FheOp.ZERO_GGSW1)
+        if bit is self._triv_bits[1]:
+            return self._const_node(FheOp.ONE_GGSW1)
+        if isinstance(bit, LazyCt) and bit.value is None:
+            key = ("n", bit.node)
+        else:
+            src_obj = bit.value if isinstance(bit, LazyCt) else bit
+            key = ("c", id(src_obj))
+        node = self._ggsw_cache.get(key)
+        if node is None:
+            src = self._glwe_node(bit)
+            node = self.pending.insert_ciphertext_conversion(
+                src, CtType.GLWE1, CtType.GGSW1
+            )
+            self._ggsw_cache[key] = node
+        return node
+
+    def _new_lazy(self, node: int) -> LazyCt:
+        lz = LazyCt(node)
+        self._lazy.append(lz)
+        return lz
+
+    def flush(self, memory: Memory | None = None):
+        """Execute the pending graph as batched level-synchronous waves
+        and substitute results into registers and memory in place."""
+        if not self._lazy:
+            self._new_pending()
+            return
+        # live handles = those reachable from architectural state
+        live: dict[int, list[LazyCt]] = {}
+
+        def visit(bits):
+            for b in bits:
+                if isinstance(b, LazyCt) and b.value is None:
+                    live.setdefault(b.node, []).append(b)
+
+        for r in self.registers:
+            if isinstance(r, CtVal):
+                visit(r.bits)
+        if memory is not None:
+            for eb in memory.iter_enc_bytes():
+                visit(eb.bits)
+        if live:
+            out_nodes = []
+            for node in live:
+                o = self.pending.add_node(FheOp.OUTPUT_GLWE1, f"__l{node}")
+                self.pending.add_edge(node, o, FheEdge.UNARY)
+                out_nodes.append(o)
+            pruned, _ = self.pending.prune(out_nodes)
+            result = self.ex.run(pruned, self.pending_inputs)
+            for node, lazies in live.items():
+                val = result[f"__l{node}"]
+                for lz in lazies:
+                    lz.value = val
+
+        def subst(bits):
+            for i, b in enumerate(bits):
+                if isinstance(b, LazyCt) and b.value is not None:
+                    bits[i] = b.value
+
+        for r in self.registers:
+            if isinstance(r, CtVal):
+                subst(r.bits)
+        if memory is not None:
+            for eb in memory.iter_enc_bytes():
+                subst(eb.bits)
+        self.flush_count += 1
+        self._new_pending()
 
     # ------------------------------------------------------------------
     # program execution
@@ -104,14 +258,19 @@ class FheComputer:
             if instr.name == "Ret":
                 break
             pc = self._execute(instr, pc, memory)
+            if len(self.pending.nodes) > self.FLUSH_NODE_BUDGET:
+                self.flush(memory)
             if log_register_info and "dst" in instr.operands:
                 r = instr.operands["dst"]
                 log.info("  x%d = %s", r, self.registers[r])
+        self.flush(memory)
         return return_ptr
 
     def reset(self):
         self.registers = [PtVal(0, 32) for _ in range(64)]
         self.gas_used = 0
+        self.flush_count = 0
+        self._new_pending()
 
     def _set_up_function_call(self, memory: Memory, call_data) -> int:
         """Stack-based ABI v3 (`fhe_processor.rs:543-591`): one 16-aligned
@@ -151,40 +310,20 @@ class FheComputer:
 
     def _lift(self, v, width=None) -> CtVal:
         """Trivially lift a plaintext register to GLWE bits
-        (≙ `register_to_l1glwe_by_trivial_lift`, `proc/mod.rs:205-217`)."""
+        (≙ `register_to_l1glwe_by_trivial_lift`, `proc/mod.rs:205-217`).
+        Uses the two shared trivial handles so the graph builder can
+        identity-fold them into constants."""
         if isinstance(v, CtVal):
             return v
-        import jax.numpy as jnp
-
         w = width or v.width
-        n = self.ev.params.l1_params.degree
-        bits = []
-        for i in range(w):
-            poly = jnp.zeros((n,), dtype=jnp.uint64).at[0].set((v.val >> i) & 1)
-            bits.append(self.ev.enc.trivial_glwe_l1(poly))
-        return CtVal(bits, w)
+        return CtVal([self._triv_bits[(v.val >> i) & 1] for i in range(w)], w)
 
     def _run_mux(self, circuit, operand_bits: list) -> list:
-        """Graft a mux circuit over the given GLWE bit ciphertexts and
-        execute it; returns output GLWE bits."""
-        g = FheCircuit()
-        inputs = {}
-        input_nodes = []
-        for i, bit_ct in enumerate(operand_bits):
-            key = f"b{i}"
-            node = g.add_node(FheOp.INPUT_GLWE1, key)
-            ggsw = g.insert_ciphertext_conversion(node, CtType.GLWE1, CtType.GGSW1)
-            input_nodes.append(ggsw)
-            inputs[key] = bit_ct
-        outs = g.insert_mux_circuit(circuit, input_nodes)
-        out_keys = []
-        for j, o in enumerate(outs):
-            key = f"o{j}"
-            node = g.add_node(FheOp.OUTPUT_GLWE1, key)
-            g.add_edge(o, node, FheEdge.UNARY)
-            out_keys.append(key)
-        result = self.ex.run(g, inputs)
-        return [result[k] for k in out_keys]
+        """Graft a mux circuit over the given GLWE bit handles into the
+        pending graph; returns unresolved `LazyCt` output handles."""
+        sel_nodes = [self._bit_ggsw(b) for b in operand_bits]
+        outs = self.pending.insert_mux_circuit(circuit, sel_nodes)
+        return [self._new_lazy(o) for o in outs]
 
     # ------------------------------------------------------------------
     # instruction execution
@@ -239,6 +378,11 @@ class FheComputer:
         elif name == "Dbg":
             handler = self.debug_handlers.get(instr.handler_id)
             if handler is not None:
+                v = regs[instr.src]
+                if isinstance(v, CtVal) and any(
+                    isinstance(b, LazyCt) and b.value is None for b in v.bits
+                ):
+                    self.flush(memory)  # handler observes ciphertext values
                 handler(regs[instr.src])
         else:
             raise CpuError(f"unhandled instruction {name}")
@@ -379,9 +523,17 @@ class FheComputer:
             return
         # NOT on GLWE bits is keyless (x + trivial(1); `evaluation.rs:48`)
         self._gas(GAS_PLAIN)
-        self.registers[instr.dst] = CtVal(
-            [self.ev.not_(b) for b in v.bits], w
-        )
+        bits = []
+        for b in v.bits:
+            if b is self._triv_bits[0]:
+                bits.append(self._triv_bits[1])
+            elif b is self._triv_bits[1]:
+                bits.append(self._triv_bits[0])
+            else:
+                node = self.pending.add_node(FheOp.NOT)
+                self.pending.add_edge(self._glwe_node(b), node, FheEdge.UNARY)
+                bits.append(self._new_lazy(node))
+        self.registers[instr.dst] = CtVal(bits, w)
 
     def _exec_cmp(self, instr, name):
         a, b = self.registers[instr.a], self.registers[instr.b]
@@ -494,26 +646,15 @@ class FheComputer:
             return
         self._gas(GAS_CIPHERTEXT)
         ca, cb = self._lift(a), self._lift(b)
-        g = FheCircuit()
-        inputs = {"cond": cond.bits[0]}
-        cnode = g.add_node(FheOp.INPUT_GLWE1, "cond")
-        sel = g.insert_ciphertext_conversion(cnode, CtType.GLWE1, CtType.GGSW1)
-        out_keys = []
+        sel = self._bit_ggsw(cond.bits[0])
+        bits = []
         for i in range(w):
-            ka, kb = f"a{i}", f"b{i}"
-            na = g.add_node(FheOp.INPUT_GLWE1, ka)
-            nb = g.add_node(FheOp.INPUT_GLWE1, kb)
-            inputs[ka], inputs[kb] = ca.bits[i], cb.bits[i]
-            m = g.add_node(FheOp.CMUX)
-            g.add_edge(sel, m, FheEdge.SEL)
-            g.add_edge(nb, m, FheEdge.LOW)
-            g.add_edge(na, m, FheEdge.HIGH)
-            ko = f"o{i}"
-            o = g.add_node(FheOp.OUTPUT_GLWE1, ko)
-            g.add_edge(m, o, FheEdge.UNARY)
-            out_keys.append(ko)
-        result = self.ex.run(g, inputs)
-        self.registers[instr.dst] = CtVal([result[k] for k in out_keys], w)
+            m = self.pending.add_node(FheOp.CMUX)
+            self.pending.add_edge(sel, m, FheEdge.SEL)
+            self.pending.add_edge(self._glwe_node(cb.bits[i]), m, FheEdge.LOW)
+            self.pending.add_edge(self._glwe_node(ca.bits[i]), m, FheEdge.HIGH)
+            bits.append(self._new_lazy(m))
+        self.registers[instr.dst] = CtVal(bits, w)
 
     # --- memory ops ---
 

@@ -196,26 +196,35 @@ def blind_rotate_u32(
     acc = monomial_mul_u32(lut_b, U32(2 * glwe.degree) - b)
 
     if fuse_rot:
-        from .rot_decomp_pallas import rotate_sub_decompose
+        # Deferred-accumulate loop: the fused Pallas kernel folds the
+        # PREVIOUS step's inverse-FFT output (still a ds f32 pair) into
+        # the accumulator before rotating/decomposing, so the standalone
+        # from_ds + limb-add XLA pass disappears from the step.
+        from .rot_decomp_pallas import rotate_sub_decompose_acc
 
-        def body(i, acc):
-            digits_f = rotate_sub_decompose(acc, a[i], radix)
-            hi = digits_f
+        def body(i, carry):
+            acc, prod = carry
+            digits_f, acc = rotate_sub_decompose_acc(acc, prod, a[i], radix)
             dfft = (
-                fp.fwd_ds(hi, jnp.zeros_like(hi))
+                fp.fwd_ds(digits_f, jnp.zeros_like(digits_f))
                 if use_pallas
-                else _fwd_ds_xla(hi, jnp.zeros_like(hi))
+                else _fwd_ds_xla(digits_f, jnp.zeros_like(digits_f))
             )
             prod_f = freq_mad(dfft, tuple(c[i] for c in bsk_freq), glwe, radix)
-            prod = inv_limb(prod_f, use_pallas)
-            return lb.add(acc, prod)
+            prod = fp.inv_ds(prod_f) if use_pallas else _inv_ds_xla(prod_f)
+            return acc, prod
 
-    else:
+        zero_prod = (
+            jnp.zeros_like(acc[0], dtype=jnp.float32),
+            jnp.zeros_like(acc[0], dtype=jnp.float32),
+        )
+        acc, prod = jax.lax.fori_loop(0, lwe.dim, body, (acc, zero_prod))
+        return lb.add(acc, lb.from_ds(*prod))
 
-        def body(i, acc):
-            rotated = monomial_mul_u32(acc, a[i])
-            row = tuple(c[i] for c in bsk_freq)
-            return cmux_u32(acc, rotated, row, glwe, radix, use_pallas)
+    def body(i, acc):
+        rotated = monomial_mul_u32(acc, a[i])
+        row = tuple(c[i] for c in bsk_freq)
+        return cmux_u32(acc, rotated, row, glwe, radix, use_pallas)
 
     return jax.lax.fori_loop(0, lwe.dim, body, acc)
 

@@ -104,9 +104,18 @@ def glev_cmux(
     ggsw_radix: RadixDecomposition,
     be=C128,
 ) -> jnp.ndarray:
-    """CMux over each GLWE row of a GLEV (`fft_ops.rs:203-221`): the GLEV
-    row axis acts as a batch axis of the underlying cmux."""
-    return cmux(d0, d1, sel_ggsw_fft, glwe_def, ggsw_radix, be)
+    """CMux over each GLWE row of a GLEV (`fft_ops.rs:203-221`).
+
+    d0/d1: u64 [..., l_glev, k+1, N]; sel may carry the same leading
+    batch dims as d0/d1 (without the GLEV row axis), so each row is
+    cmuxed explicitly rather than broadcast."""
+    d0 = u64(d0)
+    rows = [
+        cmux(d0[..., r, :, :], u64(d1)[..., r, :, :], sel_ggsw_fft,
+             glwe_def, ggsw_radix, be)
+        for r in range(d0.shape[-3])
+    ]
+    return jnp.stack(rows, axis=-3)
 
 
 def keyswitch_glwe_to_glwe(

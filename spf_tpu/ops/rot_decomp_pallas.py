@@ -67,6 +67,52 @@ def _kernel(t_ref, hi_ref, lo_ref, dig_ref, *, n, radix):
     dig_ref[...] = digs[:, None].astype(jnp.float32)
 
 
+def _kernel_acc(t_ref, hi_ref, lo_ref, ph_ref, pl_ref, dig_ref, oh_ref, ol_ref, *, n, radix):
+    acc = (hi_ref[0], lo_ref[0])
+    # fold the previous step's external product in here: one read of the
+    # accumulator instead of a separate XLA from_ds + add pass
+    acc = lb.add(acc, lb.from_ds(ph_ref[0], pl_ref[0]))
+    oh_ref[0] = acc[0]
+    ol_ref[0] = acc[1]
+    t = t_ref[...]  # [1, B_tile]
+    rot = _rotate_limb_rolls(acc, t, n)
+    diff = lb.sub(rot, acc)
+    dig_ref[...] = lb.decompose(diff, radix)[:, None].astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("radix", "interpret"))
+def rotate_sub_decompose_acc(acc, prod_ds, t, radix: RadixDecomposition, interpret=False):
+    """Deferred-accumulate variant: first acc += round(prod_ds) (the
+    PREVIOUS blind-rotation step's inverse-FFT output, still as a ds
+    f32 pair), then rotate/sub/decompose as `rotate_sub_decompose`.
+    Returns (digit planes f32 [count, k+1, N, B], updated acc limb
+    pair). Folding the accumulate into this kernel removes the
+    standalone from_ds + limb-add XLA pass from every step."""
+    kp1, n, b = acc[0].shape
+    assert b % LANES == 0, b
+    t2 = jnp.broadcast_to(t.astype(U32)[None, :], (1, b))
+    grid = (kp1, b // LANES)
+    kern = functools.partial(_kernel_acc, n=n, radix=radix)
+    t_spec = pl.BlockSpec((1, LANES), lambda i, j: (0, j))
+    a_spec = pl.BlockSpec((1, n, LANES), lambda i, j: (i, 0, j))
+    d_spec = pl.BlockSpec((radix.count, 1, n, LANES), lambda i, j: (0, i, 0, j))
+    out_shape = [
+        jax.ShapeDtypeStruct((radix.count, kp1, n, b), jnp.float32),
+        jax.ShapeDtypeStruct((kp1, n, b), U32),
+        jax.ShapeDtypeStruct((kp1, n, b), U32),
+    ]
+    digs, hi, lo = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[t_spec, a_spec, a_spec, a_spec, a_spec],
+        out_specs=[d_spec, a_spec, a_spec],
+        out_shape=out_shape,
+        interpret=interpret,
+        compiler_params=None if interpret else _COMPILER_PARAMS,
+    )(t2, acc[0], acc[1], prod_ds[0], prod_ds[1])
+    return digs, (hi, lo)
+
+
 @functools.partial(jax.jit, static_argnames=("radix", "interpret"))
 def rotate_sub_decompose(acc, t, radix: RadixDecomposition, interpret=False):
     """acc limb pair [k+1, N, B], t u32 [B] -> digit planes f32

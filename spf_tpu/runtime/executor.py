@@ -65,12 +65,19 @@ class CircuitExecutor:
     def run(self, circuit: FheCircuit, inputs: dict) -> dict:
         """Execute a (validated) circuit. `inputs` maps the `param` key
         of each INPUT_* node to its ciphertext. Returns {output param
-        key: ciphertext}. Jit-safe: wrap in jax.jit via `compile`."""
+        key: ciphertext}. Jit-safe: wrap in jax.jit via `compile`.
+
+        Liveness: each node's value is dropped as soon as its last
+        consumer has read it, bounding peak memory to the widest live
+        frontier instead of the whole circuit (≙ the reference's Retire
+        op + flow control, `circuit_processor/mod.rs:83-99`)."""
         circuit.validate()
         levels = circuit.levelize()
         preds: dict[int, list] = {}
+        refcount: dict[int, int] = {}
         for s, d, r in circuit.edges:
             preds.setdefault(d, []).append((s, r))
+            refcount[s] = refcount.get(s, 0) + 1
 
         values: dict[int, object] = {}
         outputs: dict[object, object] = {}
@@ -84,25 +91,50 @@ class CircuitExecutor:
             for (op, param), node_ids in groups.items():
                 if self.debug:
                     self.debug_log.append((op.value, param, len(node_ids)))
-                self._exec_group(circuit, op, param, node_ids, preds, values, inputs, outputs)
+                self._exec_group(
+                    circuit, op, param, node_ids, preds, refcount, values, inputs, outputs
+                )
         return outputs
 
     def compile(self, circuit: FheCircuit):
-        """Return fn(inputs_dict) -> outputs_dict suitable for jax.jit."""
+        """Compile the circuit to a cached XLA executable: returns
+        fn(inputs_dict) -> outputs_dict, jitted, with the traced
+        executable cached on this executor keyed by circuit structure —
+        a second call with the same topology skips tracing entirely
+        (≙ the reference compiles nothing; this is the TPU-native
+        'FheCircuit is a program' design, SURVEY §7 step 8)."""
+        import jax
+
         circuit.validate()
-
-        def fn(inputs):
-            return self.run(circuit, inputs)
-
+        key = (
+            tuple((n.op, n.param) for n in circuit.nodes),
+            tuple(circuit.edges),
+        )
+        cache = getattr(self, "_compile_cache", None)
+        if cache is None:
+            cache = self._compile_cache = {}
+        fn = cache.get(key)
+        if fn is None:
+            fn = jax.jit(lambda inputs: self.run(circuit, inputs))
+            cache[key] = fn
         return fn
 
-    def _exec_group(self, circuit, op, param, node_ids, preds, values, inputs, outputs):
+    def _exec_group(
+        self, circuit, op, param, node_ids, preds, refcount, values, inputs, outputs
+    ):
         ev = self.ev
         be = self.be
 
+        def take(src):
+            v = values[src]
+            refcount[src] -= 1
+            if refcount[src] == 0:
+                del values[src]
+            return v
+
         def gather(role, freq=False):
             srcs = [_role(preds.get(i, []), role) for i in node_ids]
-            vals = [values[s] for s in srcs]
+            vals = [take(s) for s in srcs]
             if len(vals) == 1:
                 return vals[0], False
             if freq:
@@ -125,11 +157,11 @@ class CircuitExecutor:
         elif op.value.startswith("output_"):
             for node_id in node_ids:
                 src = _role(preds.get(node_id, []), FheEdge.UNARY)
-                outputs[circuit.nodes[node_id].param] = values[src]
+                outputs[circuit.nodes[node_id].param] = take(src)
         elif op in (FheOp.RETIRE, FheOp.NOP):
             for node_id in node_ids:
                 ins = preds.get(node_id, [])
-                values[node_id] = values[ins[0][0]] if ins else None
+                values[node_id] = take(ins[0][0]) if ins else None
         elif op.value.startswith(("zero_", "one_")):
             const = self._const(op)
             for node_id in node_ids:

@@ -39,23 +39,45 @@ class FheCircuitCtx:
 @dataclasses.dataclass
 class UInt:
     """An unsigned integer as GLWE-bit graph nodes, LSB-first
-    (≙ `fluent/uint.rs` GenericInt<N, L1GlweCiphertext>)."""
+    (≙ `fluent/uint.rs` GenericInt<N, L1GlweCiphertext>).
 
-    bits: list  # node ids producing GLWE1 bits
+    `mode` selects the mux representation (≙ the reference's `Muxable`
+    trait, `fluent/mod.rs:362-374`): "glwe" grafts CMux trees whose
+    wires are GLWE ciphertexts and converts bits onward via the full
+    conversion cycle (sample extract -> keyswitch -> CBS); "glev"
+    grafts GlevCMux trees whose wires are GLEV ciphertexts and converts
+    onward via the cheaper scheme switch (GenericInt<N,
+    L1GlevCiphertext> in the reference).
+
+    Noise caveat (inherent to the scheme, same as the reference): each
+    CMux leaves a gadget-rounding residual rho (*) s of ~q/(2 B^l_cbs)
+    x sqrt(N) in the wire phase, so a *cmux-produced* GLEV's deepest
+    rows degrade below the q/B^l_cbs grid after one layer. Scheme
+    switching such a wire into the select of a second layer is
+    therefore depth-limited; the reference's GLEV tests correspondingly
+    use GGSW inputs and a single circuit layer per output
+    (`fluent/mod.rs:589-631` cases use GenericInt<_, L1GgswCiphertext>
+    inputs). For multi-layer circuits convert selects through the L0
+    conversion cycle (noise reset via CBS), i.e. use "glwe" mode."""
+
+    bits: list  # node ids producing GLWE1 bits, or (cttype, node) tuples
     ctx: FheCircuitCtx
     signed: bool = False
+    mode: str = "glwe"
 
     # --- construction ---
 
     @classmethod
-    def input(cls, ctx: FheCircuitCtx, n: int, signed: bool = False) -> "UInt":
+    def input(
+        cls, ctx: FheCircuitCtx, n: int, signed: bool = False, mode: str = "glwe"
+    ) -> "UInt":
         """Declare n encrypted input bits (L1 GLWE). Input keys are
         returned in order via `input_keys`."""
         bits = []
         for _ in range(n):
             key = ctx.new_input_key()
             bits.append(ctx.circuit.add_node(FheOp.INPUT_GLWE1, key))
-        return cls(bits=bits, ctx=ctx, signed=signed)
+        return cls(bits=bits, ctx=ctx, signed=signed, mode=mode)
 
     @classmethod
     def packed_input(cls, ctx: FheCircuitCtx, n: int, signed: bool = False) -> "UInt":
@@ -92,11 +114,24 @@ class UInt:
 
     def _bit_type(self, b) -> CtType:
         if isinstance(b, tuple):
-            return CtType.LWE1
+            return CtType(b[0])
         return CtType.GLWE1
 
     def _bit_node(self, b) -> int:
         return b[1] if isinstance(b, tuple) else b
+
+    def _wrap_outs(self, outs: list) -> list:
+        """Mux-circuit outputs are GLWE wires in glwe mode, GLEV wires
+        in glev mode."""
+        if self.mode == "glev":
+            return [("glev1", o) for o in outs]
+        return list(outs)
+
+    def _zero_bit(self):
+        c = self.ctx.circuit
+        if self.mode == "glev":
+            return ("glev1", c.add_node(FheOp.ZERO_GLEV1))
+        return c.add_node(FheOp.ZERO_GLWE1)
 
     def to_ggsw(self) -> list:
         """Convert every bit to GGSW form through the conversion cycle
@@ -164,28 +199,30 @@ class UInt:
         if self.signed:
             ext = [self.bits[-1]] * (new_n - self.n)
         else:
-            ext = [c.add_node(FheOp.ZERO_GLWE1) for _ in range(new_n - self.n)]
-        return UInt(list(self.bits) + ext, self.ctx, self.signed)
+            ext = [self._zero_bit() for _ in range(new_n - self.n)]
+        return UInt(list(self.bits) + ext, self.ctx, self.signed, self.mode)
 
     # --- arithmetic (mux-circuit grafts; ≙ `fluent/...graph_nodes.rs:250-476`) ---
 
     def _binary_circuit(self, other: "UInt", circuit, num_out) -> list:
         assert self.n == other.n
         ggsw = self.to_ggsw() + other.to_ggsw()
-        outs = self.ctx.circuit.insert_mux_circuit(circuit, ggsw)
-        return outs[:num_out] if num_out else outs
+        outs = self.ctx.circuit.insert_mux_circuit(
+            circuit, ggsw, glev=self.mode == "glev"
+        )
+        return self._wrap_outs(outs[:num_out] if num_out else outs)
 
     def __add__(self, other: "UInt") -> "UInt":
         outs = self._binary_circuit(
             other, int_circuits.ripple_carry_adder(self.n, emit_carry=True), self.n
         )
-        return UInt(outs, self.ctx, self.signed)
+        return UInt(outs, self.ctx, self.signed, self.mode)
 
     def __sub__(self, other: "UInt") -> "UInt":
         outs = self._binary_circuit(
             other, int_circuits.full_subtractor(self.n, emit_borrow=True), self.n
         )
-        return UInt(outs, self.ctx, self.signed)
+        return UInt(outs, self.ctx, self.signed, self.mode)
 
     def __mul__(self, other: "UInt") -> "UInt":
         """Full-width n x m -> n+m product (unsigned; signed handled by
@@ -194,43 +231,70 @@ class UInt:
         if max(self.n, other.n) <= int_circuits.CIRCUIT_CUTOFF:
             ggsw = self.to_ggsw() + other.to_ggsw()
             outs = self.ctx.circuit.insert_mux_circuit(
-                int_circuits.unsigned_multiplier(self.n, other.n), ggsw
+                int_circuits.unsigned_multiplier(self.n, other.n),
+                ggsw,
+                glev=self.mode == "glev",
             )
-            return UInt(outs, self.ctx, False)
+            return UInt(self._wrap_outs(outs), self.ctx, False, self.mode)
         return self._gradeschool_mul(other)
 
+    def _ggsw_of(self, b) -> int:
+        return self.ctx.circuit.insert_ciphertext_conversion(
+            self._bit_node(b), self._bit_type(b), CtType.GGSW1
+        )
+
     def _gradeschool_mul(self, other: "UInt") -> "UInt":
-        lo_n, hi_n = int_circuits.partition_integer(self.n)
-        a_lo = UInt(self.bits[:lo_n], self.ctx)
-        a_hi = UInt(self.bits[lo_n:], self.ctx)
-        lo_m, hi_m = int_circuits.partition_integer(other.n)
-        b_lo = UInt(other.bits[:lo_m], self.ctx)
-        b_hi = UInt(other.bits[lo_m:], self.ctx)
+        outs = self._mul_bits(list(self.bits), list(other.bits))
+        return UInt(outs, self.ctx, False, self.mode)
 
-        total = self.n + other.n
-        parts = []
-        ll = a_lo * b_lo
-        parts.append((0, ll))
-        if hi_m:
-            parts.append((lo_m, a_lo * b_hi))
-        if hi_n:
-            parts.append((lo_n, a_hi * b_lo))
-        if hi_n and hi_m:
-            parts.append((lo_n + lo_m, a_hi * b_hi))
-
-        acc = None
+    def _mul_bits(self, a: list, b: list) -> list:
+        """Recursive gradeschool product over bit-handle lists, mirroring
+        the reference's three cases (`circuits/mul.rs:89-195` mul_impl):
+        base multiplier block; single-split add when only the longer
+        operand partitions; 4 partial products + the column-compressor
+        reduction circuit otherwise."""
+        if len(a) < len(b):
+            a, b = b, a
+        n, m = len(a), len(b)
+        a_lo_n, a_hi_n = int_circuits.partition_integer(n)
+        b_lo_n, b_hi_n = int_circuits.partition_integer(m)
         c = self.ctx.circuit
-        for shift, p in parts:
-            ext = UInt(
-                [c.add_node(FheOp.ZERO_GLWE1) for _ in range(shift)] + list(p.bits),
-                self.ctx,
-            ).resize(total)
-            acc = ext if acc is None else (acc + ext)
-        return acc
+        glev = self.mode == "glev"
+        if a_hi_n == 0 and b_hi_n == 0:
+            ggsw = [self._ggsw_of(x) for x in a + b]
+            outs = c.insert_mux_circuit(
+                int_circuits.unsigned_multiplier(n, m), ggsw, glev=glev
+            )
+            return self._wrap_outs(outs)
+        if b_hi_n == 0:
+            # b * a_lo + ((b * a_hi) << a_lo_n)  (`circuits/mul.rs:117-150`)
+            ll = self._mul_bits(a[:a_lo_n], b)  # a_lo + m bits
+            hl = self._mul_bits(a[a_lo_n:], b)  # a_hi + m bits
+            lo, hi = ll[:a_lo_n], ll[a_lo_n:]  # hi: m bits
+            inter = []
+            for x, y in zip(hi, hl):
+                inter += [x, y]
+            inter += hl[len(hi):]
+            ggsw = [self._ggsw_of(x) for x in inter]
+            adder = int_circuits.mixed_width_adder(len(hi), len(hl))
+            outs = c.insert_mux_circuit(adder, ggsw, glev=glev)
+            # the product fits in n+m bits: the adder's top carry is 0
+            return list(lo) + self._wrap_outs(outs[: n + m - a_lo_n])
+        # both operands split: 4 partials + reduction (`mul.rs:152-194`)
+        ll = self._mul_bits(a[:a_lo_n], b[:b_lo_n])
+        hl = self._mul_bits(a[a_lo_n:], b[:b_lo_n])
+        lh = self._mul_bits(a[:a_lo_n], b[b_lo_n:])
+        hh = self._mul_bits(a[a_lo_n:], b[b_lo_n:])
+        enc = int_circuits.encode_gradeschool_reduction(n, m, ll, hl, lh, hh)
+        ggsw = [self._ggsw_of(x) for x in enc]
+        outs = c.insert_mux_circuit(
+            int_circuits.gradeschool_reduce(n, m), ggsw, glev=glev
+        )
+        return self._wrap_outs(outs)
 
     def _cmp(self, other: "UInt", circuit) -> "UInt":
         outs = self._binary_circuit(other, circuit, 1)
-        return UInt(outs, self.ctx)
+        return UInt(outs, self.ctx, mode=self.mode)
 
     def eq(self, other):
         return self._cmp(other, int_circuits.compare_equal(self.n))
@@ -259,6 +323,7 @@ class UInt:
             self._binary_circuit(other, int_circuits.bitwise_and(self.n), self.n),
             self.ctx,
             self.signed,
+            self.mode,
         )
 
     def __or__(self, other):
@@ -266,6 +331,7 @@ class UInt:
             self._binary_circuit(other, int_circuits.bitwise_or(self.n), self.n),
             self.ctx,
             self.signed,
+            self.mode,
         )
 
     def __xor__(self, other):
@@ -273,30 +339,33 @@ class UInt:
             self._binary_circuit(other, int_circuits.bitwise_xor(self.n), self.n),
             self.ctx,
             self.signed,
+            self.mode,
         )
 
     def __neg__(self):
         ggsw = self.to_ggsw()
         outs = self.ctx.circuit.insert_mux_circuit(
-            int_circuits.negate(self.n), ggsw
+            int_circuits.negate(self.n), ggsw, glev=self.mode == "glev"
         )
-        return UInt(outs, self.ctx, self.signed)
+        return UInt(self._wrap_outs(outs), self.ctx, self.signed, self.mode)
 
     def shift(self, amount: "UInt", direction: str, mode: str) -> "UInt":
         """Barrel shift by an encrypted amount (≙ `bitshift.rs`)."""
         ggsw = self.to_ggsw() + amount.to_ggsw()
         outs = self.ctx.circuit.insert_mux_circuit(
-            int_circuits.bitshift(self.n, amount.n, direction, mode), ggsw
+            int_circuits.bitshift(self.n, amount.n, direction, mode),
+            ggsw,
+            glev=self.mode == "glev",
         )
-        return UInt(outs, self.ctx, self.signed)
+        return UInt(self._wrap_outs(outs), self.ctx, self.signed, self.mode)
 
     def popcount(self) -> "UInt":
         """Number of set bits (≙ hamming-distance building block)."""
         ggsw = self.to_ggsw()
         outs = self.ctx.circuit.insert_mux_circuit(
-            int_circuits.popcount(self.n), ggsw
+            int_circuits.popcount(self.n), ggsw, glev=self.mode == "glev"
         )
-        return UInt(outs, self.ctx)
+        return UInt(self._wrap_outs(outs), self.ctx, mode=self.mode)
 
     def select(self, cond: "UInt", other: "UInt") -> "UInt":
         """cond ? self : other, bitwise CMux (≙ `bit.rs:97` select)."""
@@ -319,6 +388,11 @@ class UInt:
             c.add_edge(hi, m, FheEdge.HIGH)
             outs.append(m)
         return UInt(outs, self.ctx, self.signed)
+
+    def as_mode(self, mode: str) -> "UInt":
+        """Reinterpret with a different Muxable mode for downstream ops
+        (wires convert lazily through the conversion cycle on use)."""
+        return UInt(list(self.bits), self.ctx, self.signed, mode)
 
 
 class Int(UInt):

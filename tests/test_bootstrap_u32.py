@@ -161,3 +161,42 @@ class TestLimbPBS:
             assert not hits, f"64-bit dtype {bad} leaked into the x32 graph: {hits[:5]}"
         out = _jax.jit(step)(cts_limb, lut_limb, bsk_u32)
         assert out[0].dtype == jnp.uint32
+
+
+class TestFusedRotDecomp:
+    """The fused Pallas rotate+decompose kernels (interpret mode on CPU)
+    must match the separate XLA ops bit-for-bit."""
+
+    def _acc(self, b=128):
+        rng = np.random.default_rng(5)
+        acc64 = rng.integers(0, 1 << 64, size=(GLWE.size + 1, GLWE.degree, b),
+                             dtype=np.uint64)
+        t = jnp.asarray(rng.integers(0, 2 * GLWE.degree, size=(b,)), jnp.uint32)
+        return to_limbs(acc64), t
+
+    def test_rotate_sub_decompose_matches_xla(self):
+        from spf_tpu.ops.rot_decomp_pallas import rotate_sub_decompose
+
+        acc, t = self._acc()
+        got = rotate_sub_decompose(acc, t, RADIX, interpret=True)
+        rot = bu.monomial_mul_u32(acc, t)
+        want = lb.decompose(lb.sub(rot, acc), RADIX).astype(jnp.float32)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_rotate_sub_decompose_acc_matches_xla(self):
+        from spf_tpu.ops.rot_decomp_pallas import rotate_sub_decompose_acc
+
+        acc, t = self._acc()
+        rng = np.random.default_rng(6)
+        shape = acc[0].shape
+        prod = (
+            jnp.asarray(rng.standard_normal(shape).astype(np.float32) * 2**34),
+            jnp.asarray(rng.standard_normal(shape).astype(np.float32)),
+        )
+        digs, acc_new = rotate_sub_decompose_acc(acc, prod, t, RADIX, interpret=True)
+        want_acc = lb.add(acc, lb.from_ds(*prod))
+        rot = bu.monomial_mul_u32(want_acc, t)
+        want_digs = lb.decompose(lb.sub(rot, want_acc), RADIX).astype(jnp.float32)
+        np.testing.assert_array_equal(np.asarray(acc_new[0]), np.asarray(want_acc[0]))
+        np.testing.assert_array_equal(np.asarray(acc_new[1]), np.asarray(want_acc[1]))
+        np.testing.assert_array_equal(np.asarray(digs), np.asarray(want_digs))

@@ -134,3 +134,54 @@ class TestCbsU32:
             glwe_ct = bt.from_t_layout(out_u64)[i]
             dec = torus.decode(enc.decrypt_glwe(glwe_ct, glwe_sk, glwe), 1)
             np.testing.assert_array_equal(np.asarray(dec), b, err_msg=f"bit {i}")
+
+
+class TestMuxEvalU32:
+    def test_u4_add_via_cbs_and_mux_eval(self, material):
+        """Encrypted 4-bit add end-to-end on the u32 pipeline: L0 input
+        bits -> scan-CBS -> GGSW spectra -> levelized batched cmux
+        evaluation of the ripple adder -> decrypt (two instances packed
+        on lanes). The TPU production path for encrypted programs."""
+        from spf_tpu.circuits import integer as ic
+        from spf_tpu.ops.mux_eval_u32 import evaluate_mux_circuit_u32
+
+        lwe_sk, glwe_sk, bsk_coeff, ak_coeff, ssk_coeff = material
+        glwe = P.l1_params
+        n_bits = 4
+        cases = [(5, 9), (12, 7)]
+        ii = len(cases)
+
+        # input-major bit order: sel index = input_idx * I + instance
+        bit_list = []
+        for idx in range(2 * n_bits):
+            for a, b in cases:
+                v = a if idx < n_bits else b
+                bit_list.append((v >> (idx % n_bits)) & 1)
+        cts = jnp.stack(
+            [
+                enc.encrypt_lwe(k(200 + i), torus.encode(b, 1), lwe_sk, LWE)
+                for i, b in enumerate(bit_list)
+            ]
+        )
+        bsk_u32 = bu.bsk_to_freq_u32(np.asarray(bsk_coeff))
+        ak_u32 = bu.bsk_to_freq_u32(np.asarray(ak_coeff))
+        ssk_u32 = bu.bsk_to_freq_u32(np.asarray(ssk_coeff))
+        ct_limb = lb.from_u64_np(np.asarray(bt.to_t_layout(cts)))
+        ggsw = jax.jit(
+            lambda c: cu.circuit_bootstrap_u32(
+                c, bsk_u32, ak_u32, ssk_u32, P, use_pallas=False
+            )
+        )(ct_limb)
+
+        circuit = ic.ripple_carry_adder(n_bits, emit_carry=True)
+        outs = evaluate_mux_circuit_u32(
+            circuit, ggsw, glwe, P.cbs_radix, ii, use_pallas=False
+        )
+        for inst, (a, b) in enumerate(cases):
+            got = 0
+            for j, w in enumerate(outs):
+                wire = jnp.asarray(lb.to_u64_np(w)[..., inst])
+                phase = enc.decrypt_glwe(wire, glwe_sk, glwe)
+                bit = int(torus.decode(phase, 1)[0])
+                got |= bit << j
+            assert got == a + b, (inst, a, b, got)

@@ -10,6 +10,7 @@ import pytest
 from spf_tpu.params import GlweDef, LweDef, Params, RadixDecomposition
 from spf_tpu.runtime import Evaluation, generate_keys
 from spf_tpu.runtime.executor import CircuitExecutor
+from spf_tpu.runtime.fhe_circuit import FheCircuit
 from spf_tpu.runtime.fluent import FheCircuitCtx, UInt
 
 TEST_PARAMS = Params(
@@ -25,7 +26,6 @@ TEST_PARAMS = Params(
 
 KEY = jax.random.key(777)
 
-
 @pytest.fixture(scope="module")
 def material():
     sk, pk, ck = generate_keys(KEY, TEST_PARAMS)
@@ -34,10 +34,10 @@ def material():
     return sk, pk, ev, ex
 
 
-def run_binary(ex, ev, sk, build, a_val, b_val, n, signed=False):
+def run_binary(ex, ev, sk, build, a_val, b_val, n, signed=False, mode="glwe"):
     ctx = FheCircuitCtx()
-    a = UInt.input(ctx, n, signed)
-    b = UInt.input(ctx, n, signed)
+    a = UInt.input(ctx, n, signed, mode=mode)
+    b = UInt.input(ctx, n, signed, mode=mode)
     result = build(a, b)
     out_keys = result.output()
     inputs = {}
@@ -83,6 +83,48 @@ class TestEncryptedInts:
 
         assert run_binary(ex, ev, sk, build, 7, 200, 8) == 200
         assert run_binary(ex, ev, sk, build, 201, 13, 8) == 201
+
+    def test_u8_add_glev_mode(self, material):
+        """GLEV `Muxable` mode: GlevCMux trees + scheme-switch output
+        conversion, single circuit layer + decrypt — the reference's
+        GLEV coverage shape (≙ `fluent/mod.rs:362-374,589-631`)."""
+        sk, _, ev, ex = material
+        assert run_binary(
+            ex, ev, sk, lambda a, b: a + b, 170, 85, 8, mode="glev"
+        ) == 255
+
+    def test_u8_eq_glev_mode(self, material):
+        sk, _, ev, ex = material
+        assert run_binary(
+            ex, ev, sk, lambda a, b: a.eq(b), 42, 42, 8, mode="glev"
+        ) == 1
+        assert run_binary(
+            ex, ev, sk, lambda a, b: a.eq(b), 42, 43, 8, mode="glev"
+        ) == 0
+
+    def test_glev_ggsw_conversion_roundtrip(self, material):
+        """L0 -> (CBS) -> GGSW -> GLEV -> (scheme switch) -> GGSW ->
+        select of a CMux (≙ reference `convert_test`
+        `fluent/mod.rs:526-531`)."""
+        sk, _, ev, ex = material
+        from spf_tpu.runtime.fhe_circuit import CtType, FheEdge, FheOp
+
+        for bit in (0, 1):
+            g = FheCircuit()
+            inp = g.add_node(FheOp.INPUT_GLWE1, "b")
+            glev = g.insert_ciphertext_conversion(inp, CtType.GLWE1, CtType.GLEV1)
+            ggsw = g.insert_ciphertext_conversion(glev, CtType.GLEV1, CtType.GGSW1)
+            zero = g.add_node(FheOp.ZERO_GLWE1)
+            one = g.add_node(FheOp.ONE_GLWE1)
+            m = g.add_node(FheOp.CMUX)
+            g.add_edge(ggsw, m, FheEdge.SEL)
+            g.add_edge(zero, m, FheEdge.LOW)
+            g.add_edge(one, m, FheEdge.HIGH)
+            o = g.add_node(FheOp.OUTPUT_GLWE1, "out")
+            g.add_edge(m, o, FheEdge.UNARY)
+            ct = ev.enc.encrypt_uint_bits(jax.random.fold_in(KEY, 5 + bit), bit, 1, sk)
+            out = ex.run(g, {"b": ct[0]})
+            assert ev.enc.decrypt_uint_bits([out["out"]], sk) == bit
 
     def test_packed_input_roundtrip(self, material):
         sk, pk, ev, ex = material

@@ -54,3 +54,101 @@ class TestShardedPBS:
             enc.decrypt_lwe(outs, enc.glwe_sk_to_lwe_sk(glwe_sk), GLWE.as_lwe_def()), 2
         )
         np.testing.assert_array_equal(np.asarray(dec), (np.arange(batch) + 1) % 4)
+
+    def test_sharded_pbs_bitwise_equals_unsharded(self):
+        """Sharded output must be BITWISE equal to the single-device run
+        (batch sharding changes the partitioning, not the math)."""
+        mesh = make_mesh(8)
+        lwe_sk = enc.generate_lwe_sk(jax.random.fold_in(KEY, 10), LWE)
+        glwe_sk = enc.generate_glwe_sk(jax.random.fold_in(KEY, 11), GLWE)
+        bsk = bootstrap.generate_bootstrap_key(
+            jax.random.fold_in(KEY, 12), lwe_sk, glwe_sk, LWE, GLWE, PBS_RADIX
+        )
+        lut = bootstrap.generate_lut([lambda x: (x + 3) % 4], GLWE, 2)
+        batch = 16
+        msgs = jnp.arange(batch, dtype=jnp.uint64) % 4
+        cts = jax.vmap(
+            lambda k, m: enc.encrypt_lwe(k, torus.encode(m, 3), lwe_sk, LWE)
+        )(jax.random.split(jax.random.fold_in(KEY, 13), batch), msgs)
+
+        unsharded = jax.jit(
+            lambda c: bootstrap.programmable_bootstrap_univariate(
+                c, lut, bsk, LWE, GLWE, PBS_RADIX
+            )
+        )(cts)
+
+        step = sharded_pbs(PARAMS, replicate(bsk, mesh), mesh, lut)
+        sharded = step(shard_batch(cts, mesh))
+        np.testing.assert_array_equal(
+            np.asarray(jax.device_get(sharded)), np.asarray(jax.device_get(unsharded))
+        )
+
+    def test_sharded_hot_path_has_no_collectives(self):
+        """Batch sharding is embarrassingly parallel: the compiled HLO of
+        the sharded PBS step must contain NO cross-device collectives —
+        the scaling-efficiency guarantee (BASELINE >=80%; here exactly
+        linear modulo load imbalance, since zero bytes cross ICI).
+
+        Uses the ds32 backend — the TPU production path, whose FFT is
+        hand-rolled butterflies (pure elementwise ops). The c128 CPU
+        oracle lowers to the monolithic `fft` HLO, which XLA's SPMD
+        partitioner cannot partition along the batch (it inserts
+        all-gathers) — a CPU-oracle artifact, not a property of the
+        production pipeline."""
+        from spf_tpu.ops.fft import get_backend
+
+        be = get_backend("ds32")
+        mesh = make_mesh(8)
+        lwe_sk = enc.generate_lwe_sk(jax.random.fold_in(KEY, 20), LWE)
+        glwe_sk = enc.generate_glwe_sk(jax.random.fold_in(KEY, 21), GLWE)
+        bsk = bootstrap.generate_bootstrap_key(
+            jax.random.fold_in(KEY, 22), lwe_sk, glwe_sk, LWE, GLWE, PBS_RADIX, be
+        )
+        lut = bootstrap.generate_lut([lambda x: x], GLWE, 2)
+        batch = 16
+        cts = jax.vmap(
+            lambda k, m: enc.encrypt_lwe(k, torus.encode(m, 3), lwe_sk, LWE)
+        )(
+            jax.random.split(jax.random.fold_in(KEY, 23), batch),
+            jnp.zeros((batch,), jnp.uint64),
+        )
+        step = sharded_pbs(PARAMS, replicate(bsk, mesh), mesh, lut, be=be)
+        hlo = step.lower(shard_batch(cts, mesh)).compile().as_text()
+        for coll in (
+            "all-reduce", "all-gather", "all-to-all", "collective-permute",
+            "reduce-scatter",
+        ):
+            assert coll not in hlo, f"unexpected collective {coll} on hot path"
+
+
+class TestShardedCBS:
+    def test_sharded_cbs_bitwise_equals_unsharded(self):
+        """Full circuit bootstrap under batch sharding, bitwise vs the
+        unsharded run (the dryrun's assertion, as a repeatable test)."""
+        from spf_tpu.ops import cbs as cbs_ops
+        from spf_tpu.parallel import sharded_cbs
+        from spf_tpu.runtime import generate_keys
+
+        key, k_enc = jax.random.split(jax.random.fold_in(KEY, 30))
+        sk, _, ck = generate_keys(key, PARAMS)
+        mesh = make_mesh(8)
+        batch = 8
+        bits = jnp.arange(batch, dtype=jnp.uint64) % 2
+        cts = jax.vmap(
+            lambda k, b: enc.encrypt_lwe(k, torus.encode(b, 1), sk.lwe_0, LWE)
+        )(jax.random.split(k_enc, batch), bits)
+
+        unsharded = jax.jit(
+            lambda c: cbs_ops.circuit_bootstrap(
+                c, ck.bsk, ck.auto_keys, ck.ssk, PARAMS
+            )
+        )(cts)
+
+        step = sharded_cbs(PARAMS, replicate(ck, mesh), mesh)
+        sharded = step(shard_batch(cts, mesh))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(sharded), jax.tree_util.tree_leaves(unsharded)
+        ):
+            np.testing.assert_array_equal(
+                np.asarray(jax.device_get(a)), np.asarray(jax.device_get(b))
+            )
