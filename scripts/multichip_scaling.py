@@ -60,23 +60,29 @@ def main():
     lwe, glwe = PARAMS.l0_params, PARAMS.l1_params
     lwe_sk = enc.generate_lwe_sk(jax.random.fold_in(key, 0), lwe)
     glwe_sk = enc.generate_glwe_sk(jax.random.fold_in(key, 1), glwe)
-    bsk = bootstrap.generate_bootstrap_key(
-        jax.random.fold_in(key, 2), lwe_sk, glwe_sk, lwe, glwe, PARAMS.pbs_radix
-    )
     lut = bootstrap.generate_lut([lambda x: (x + 1) % 4], glwe, 2)
 
-    per_device_batch = 8
+    # STRONG scaling: one fixed batch split over 1/2/4 devices. The ds32
+    # backend is the TPU production path (elementwise butterflies — the
+    # c128 oracle's monolithic `fft` HLO is not batch-partitionable).
+    from spf_tpu.ops.fft import get_backend
+
+    be = get_backend("ds32")
+    bsk = bootstrap.generate_bootstrap_key(
+        jax.random.fold_in(key, 2), lwe_sk, glwe_sk, lwe, glwe,
+        PARAMS.pbs_radix, be,
+    )
+    batch = 32
     results = {"collectives_on_hot_path": None, "cpu_mesh_timing": {}}
+    msgs = jnp.arange(batch, dtype=jnp.uint64) % 4
+    cts_full = jax.vmap(
+        lambda k, m: enc.encrypt_lwe(k, torus.encode(m, 3), lwe_sk, lwe)
+    )(jax.random.split(jax.random.fold_in(key, 3), batch), msgs)
 
     for n_dev in (1, 2, 4):
         mesh = make_mesh(n_dev)
-        batch = per_device_batch * n_dev
-        msgs = jnp.arange(batch, dtype=jnp.uint64) % 4
-        cts = jax.vmap(
-            lambda k, m: enc.encrypt_lwe(k, torus.encode(m, 3), lwe_sk, lwe)
-        )(jax.random.split(jax.random.fold_in(key, 3), batch), msgs)
-        cts = shard_batch(cts, mesh)
-        step = sharded_pbs(PARAMS, replicate(bsk, mesh), mesh, lut)
+        cts = shard_batch(cts_full, mesh)
+        step = sharded_pbs(PARAMS, replicate(bsk, mesh), mesh, lut, be=be)
         if results["collectives_on_hot_path"] is None:
             hlo = step.lower(cts).compile().as_text()
             results["collectives_on_hot_path"] = sum(
@@ -98,9 +104,9 @@ def main():
         }
         print(f"{n_dev} devices: batch {batch} in {best*1e3:.1f} ms", flush=True)
 
-    t1 = results["cpu_mesh_timing"]["1"]["throughput_per_s"]
-    t4 = results["cpu_mesh_timing"]["4"]["throughput_per_s"]
-    results["scaling_efficiency_1_to_4_cpu"] = round(t4 / (4 * t1), 3)
+    t1 = results["cpu_mesh_timing"]["1"]["best_step_s"]
+    t4 = results["cpu_mesh_timing"]["4"]["best_step_s"]
+    results["scaling_efficiency_1_to_4_cpu"] = round(t1 / t4 / 4, 3)
     results["claim"] = (
         "Batch sharding places zero collectives on the hot path (verified in"
         " compiled HLO), so multi-chip TPU scaling is linear in chips up to"

@@ -62,6 +62,50 @@ def main():
         )
         print(f"  -> {2*8192*1024*1024/t/1e12:.1f} TFLOP/s", flush=True)
 
+    # --- int8 MXU matmul (byte-plane DFT feasibility): s8 x s8 -> s32 ---
+    rows8 = 8192
+    for nmat in (1, 21):  # 1 matmul; 21 = plane-class count for 47-bit DFT
+        a8 = jax.random.randint(key, (nmat, rows8, 128), -127, 127, dtype=jnp.int8)
+        w8 = jax.random.randint(key, (nmat, 128, 128), -127, 127, dtype=jnp.int8)
+        t, out8 = timeit(
+            f"int8 matmul x{nmat} [{rows8}x128x128] -> i32",
+            lambda x, w: jax.lax.dot_general(
+                x, w, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32,
+            ),
+            a8, w8,
+        )
+        print(f"  -> {2*nmat*rows8*128*128/t/1e12:.1f} TOP/s, dtype {out8.dtype}", flush=True)
+    # exactness check: int8 matmul must accumulate exactly in int32
+    an8 = np.random.default_rng(2).integers(-127, 127, (256, 128)).astype(np.int8)
+    wn8 = np.random.default_rng(3).integers(-127, 127, (128, 128)).astype(np.int8)
+    got8 = np.asarray(
+        jax.jit(
+            lambda x, w: jax.lax.dot_general(
+                x, w, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+        )(jnp.asarray(an8), jnp.asarray(wn8))
+    )
+    exact8 = an8.astype(np.int64) @ wn8.astype(np.int64)
+    print(f"int8 matmul exact: {np.array_equal(got8, exact8.astype(np.int32))}", flush=True)
+
+    # --- plane recombination cost (the VPU side of a byte-plane DFT):
+    # 6 scale buckets of i32 -> one ds pair, on DFT-128-output shapes ---
+    cls = jax.random.randint(key, (6, rows8, 128), -(1 << 20), 1 << 20, dtype=jnp.int32)
+
+    def recombine(c):
+        from spf_tpu.ops import ds
+
+        hi = c[0].astype(jnp.float32)
+        lo = jnp.zeros_like(hi)
+        for i in range(1, 6):
+            hi, lo = ds.add(hi, lo, c[i].astype(jnp.float32) * jnp.float32(2.0 ** (-8 * i)), jnp.zeros_like(hi))
+        return hi, lo
+
+    t, _ = timeit("plane recombination 6->ds [8192,128]", recombine, cls)
+    print(f"  -> {rows8*128/t/1e9:.2f} Gelem/s", flush=True)
+
     # --- matmul precision vs f64 host ---
     an = np.random.default_rng(0).normal(size=(256, 128)) * 2**20
     mn = np.random.default_rng(1).normal(size=(128, 128))

@@ -32,6 +32,7 @@ from ..circuits import integer as int_circuits
 from ..runtime.evaluation import Evaluation
 from ..runtime.executor import CircuitExecutor
 from ..runtime.fhe_circuit import CtType, FheCircuit, FheEdge, FheOp
+from ..utils.profiling import metrics
 from .isa import INSTRUCTION_SIZE, RP, SP, decode
 from .memory import EncByte, Memory, MemoryError_
 
@@ -223,6 +224,7 @@ class FheComputer:
             for eb in memory.iter_enc_bytes():
                 subst(eb.bits)
         self.flush_count += 1
+        metrics.inc("cpu.flushes")
         self._new_pending()
 
     # ------------------------------------------------------------------
@@ -258,6 +260,7 @@ class FheComputer:
             if instr.name == "Ret":
                 break
             pc = self._execute(instr, pc, memory)
+            metrics.inc("cpu.instructions")
             if len(self.pending.nodes) > self.FLUSH_NODE_BUDGET:
                 self.flush(memory)
             if log_register_info and "dst" in instr.operands:

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from ..utils.profiling import metrics
 from .evaluation import Evaluation
 from .fhe_circuit import CircuitError, CtType, FheCircuit, FheEdge, FheOp, OUTPUT_TYPE
 
@@ -35,6 +36,9 @@ class CircuitExecutor:
         # `circuit_processor/mod.rs:35-42`, and its trace log lines)
         self.debug = debug
         self.debug_log: list = []
+        # set to a `utils.profiling.WaveProfiler` to collect per-wave
+        # blocking timings during `run`
+        self.profiler = None
 
     # --- constants ---
 
@@ -81,8 +85,9 @@ class CircuitExecutor:
 
         values: dict[int, object] = {}
         outputs: dict[object, object] = {}
+        profiler = getattr(self, "profiler", None)
 
-        for level in levels:
+        for li, level in enumerate(levels):
             # group same-kind gates into one batched call
             groups: dict[tuple, list[int]] = {}
             for node_id in level:
@@ -91,31 +96,65 @@ class CircuitExecutor:
             for (op, param), node_ids in groups.items():
                 if self.debug:
                     self.debug_log.append((op.value, param, len(node_ids)))
-                self._exec_group(
-                    circuit, op, param, node_ids, preds, refcount, values, inputs, outputs
-                )
+                metrics.inc(f"executor.gates.{op.value}", len(node_ids))
+                if profiler is not None:
+                    import time as _time
+
+                    import jax as _jax
+
+                    t0 = _time.perf_counter()
+                    self._exec_group(
+                        circuit, op, param, node_ids, preds, refcount, values,
+                        inputs, outputs,
+                    )
+                    # block on this wave's freshly produced values so the
+                    # recorded time is the wave's own device time
+                    fresh = [values[n] for n in node_ids if n in values]
+                    if fresh:
+                        _jax.block_until_ready(fresh)
+                    profiler.record(
+                        li, op.value, param, len(node_ids),
+                        _time.perf_counter() - t0,
+                    )
+                else:
+                    self._exec_group(
+                        circuit, op, param, node_ids, preds, refcount, values,
+                        inputs, outputs,
+                    )
         return outputs
 
-    def compile(self, circuit: FheCircuit):
+    def compile(self, circuit: FheCircuit, donate: bool = False):
         """Compile the circuit to a cached XLA executable: returns
         fn(inputs_dict) -> outputs_dict, jitted, with the traced
         executable cached on this executor keyed by circuit structure —
         a second call with the same topology skips tracing entirely
         (≙ the reference compiles nothing; this is the TPU-native
-        'FheCircuit is a program' design, SURVEY §7 step 8)."""
+        'FheCircuit is a program' design, SURVEY §7 step 8).
+
+        `donate=True` donates the input ciphertext buffers to XLA
+        (`donate_argnums`), letting buffer assignment reuse their HBM
+        for intermediates — the analog of the reference's Retire-driven
+        reclamation for *inputs*. Only safe when the caller does not
+        read the inputs after the call (the deferred-graph processor,
+        for instance, keeps register-held ciphertexts across flushes and
+        must NOT donate)."""
         import jax
 
         circuit.validate()
         key = (
             tuple((n.op, n.param) for n in circuit.nodes),
             tuple(circuit.edges),
+            donate,
         )
         cache = getattr(self, "_compile_cache", None)
         if cache is None:
             cache = self._compile_cache = {}
         fn = cache.get(key)
         if fn is None:
-            fn = jax.jit(lambda inputs: self.run(circuit, inputs))
+            fn = jax.jit(
+                lambda inputs: self.run(circuit, inputs),
+                donate_argnums=(0,) if donate else (),
+            )
             cache[key] = fn
         return fn
 

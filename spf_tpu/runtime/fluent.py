@@ -39,7 +39,11 @@ class FheCircuitCtx:
 @dataclasses.dataclass
 class UInt:
     """An unsigned integer as GLWE-bit graph nodes, LSB-first
-    (≙ `fluent/uint.rs` GenericInt<N, L1GlweCiphertext>).
+    (≙ `fluent/uint.rs` GenericInt<N, L1GlweCiphertext> AND
+    `fluent/dynamic_generic_int.rs` DynamicGenericInt: the reference
+    needs a second, runtime-width type because Rust's const generics fix
+    N at compile time — Python widths are always runtime values, so one
+    class covers both).
 
     `mode` selects the mux representation (≙ the reference's `Muxable`
     trait, `fluent/mod.rs:362-374`): "glwe" grafts CMux trees whose

@@ -27,6 +27,33 @@ from ..runtime.evaluation import Evaluation
 from ..runtime.keys import SecretKey
 
 
+class RunningStats:
+    """Streaming mean/variance accumulator, Welford's algorithm
+    (≙ `sunscreen_math/src/stats.rs` Stats: add_sample/mean/variance/
+    std — numerically stable for the tiny relative variances noise
+    measurement produces)."""
+
+    def __init__(self):
+        self.count = 0
+        self._mean = 0.0
+        self._m2 = 0.0
+
+    def add_sample(self, x: float):
+        self.count += 1
+        delta = x - self._mean
+        self._mean += delta / self.count
+        self._m2 += delta * (x - self._mean)
+
+    def mean(self) -> float:
+        return self._mean
+
+    def variance(self) -> float:
+        return self._m2 / self.count if self.count else 0.0
+
+    def std(self) -> float:
+        return math.sqrt(self.variance())
+
+
 @dataclasses.dataclass
 class NoiseStats:
     op: str

@@ -201,6 +201,60 @@ class TestDefault128NoiseRegression:
         assert gap > -6.0, ("implausibly quiet", sigma_extrap, sigma_model, levels[-1])
 
 
+class TestRunningStats:
+    def test_welford_matches_numpy(self):
+        rng = np.random.default_rng(3)
+        xs = rng.normal(5.0, 2.0, 1000)
+        rs = noise.RunningStats()
+        for x in xs:
+            rs.add_sample(float(x))
+        assert rs.count == 1000
+        np.testing.assert_allclose(rs.mean(), xs.mean(), rtol=1e-12)
+        np.testing.assert_allclose(rs.std(), xs.std(), rtol=1e-10)
+
+
+class TestProfiling:
+    def test_wave_profiler_and_metrics(self, material):
+        """Per-wave profiling + metrics counters over an executor run
+        (SURVEY §5 tracing/profiling; ≙ the reference's tracing spans
+        per circuit-processor task)."""
+        from spf_tpu.runtime.fluent import FheCircuitCtx, UInt
+        from spf_tpu.utils.profiling import WaveProfiler, metrics
+
+        sk, _, ev = material
+        ex = __import__(
+            "spf_tpu.runtime.executor", fromlist=["CircuitExecutor"]
+        ).CircuitExecutor(ev)
+        ctx = FheCircuitCtx()
+        a = UInt.input(ctx, 2)
+        b = UInt.input(ctx, 2)
+        out_keys = (a ^ b).output()
+        inputs = {}
+        for kk, bit in zip(a.input_keys() + b.input_keys(), [1, 0, 0, 1]):
+            poly = jnp.zeros(
+                (TEST_PARAMS.l1_params.degree,), dtype=jnp.uint64
+            ).at[0].set(bit)
+            inputs[kk] = ev.enc.encrypt_glwe_l1(
+                jax.random.fold_in(KEY, 300 + len(inputs)), poly, sk
+            )
+        metrics.reset()
+        prof = WaveProfiler()
+        ex.profiler = prof
+        res = ex.run(ctx.circuit, inputs)
+        ex.profiler = None
+        got = sum(
+            int(ev.enc.decrypt_glwe_l1(res[k], sk)[0]) << i
+            for i, k in enumerate(out_keys)
+        )
+        assert got == 0b11  # a=1 (bits 1,0) XOR b=2 (bits 0,1)
+        assert prof.records and prof.total_seconds > 0
+        by_op = prof.by_op()
+        assert any(op.startswith("cmux") or "mux" in op for op in by_op), by_op
+        snap = metrics.snapshot()
+        assert any(k.startswith("executor.gates.") for k in snap), snap
+        assert "op" in prof.report()
+
+
 class TestSecurityEstimator:
     """2-D lattice-estimator fit (≙ `sunscreen_math/src/security.rs`
     tests + doctests)."""

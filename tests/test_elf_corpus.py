@@ -20,9 +20,12 @@ from spf_tpu.runtime import Evaluation, generate_keys
 
 TEST_DATA = "/root/reference/parasol_cpu/tests/test_data"
 
+# smallest toy set the conversion cycle is stable at under sigma=1e-16:
+# the corpus exercises program/ABI semantics, not crypto margins, and
+# the suite must stay runnable (dim 128 / N 256 took 82 min)
 TEST_PARAMS = Params(
-    l0_params=LweDef(dim=128, std=1e-16),
-    l1_params=GlweDef(size=1, degree=256, std=1e-16),
+    l0_params=LweDef(dim=64, std=1e-16),
+    l1_params=GlweDef(size=1, degree=128, std=1e-16),
     cbs_radix=RadixDecomposition(count=2, radix_log=9),
     pbs_radix=RadixDecomposition(count=2, radix_log=16),
     ks_radix=RadixDecomposition(count=9, radix_log=4),
