@@ -51,6 +51,14 @@ def main():
         " -> levelized batched cmux adder -> decrypt); x32 backends only",
     )
     ap.add_argument(
+        "--program", default=None,
+        choices=["hamming_distance", "cardio"],
+        help="run a reference-compiled ELF program end-to-end on the u32"
+        " TPU pipeline at DEFAULT_128 (encrypted args -> deferred"
+        " dataflow graph -> batched CBS/cmux waves -> decrypt); the"
+        " metric set of parasol_cpu/benches; x32 backends only",
+    )
+    ap.add_argument(
         "--keygen-only", action="store_true",
         help="generate and cache DEFAULT_128 keys, then exit (CPU backend)",
     )
@@ -82,6 +90,16 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     if not x32:
         jax.config.update("jax_enable_x64", True)
+    # persistent executable cache (opt-in): remote compiles through the
+    # axon tunnel take minutes and a warm cache turns first-call into a
+    # load — but executable DESERIALIZATION through the axon plugin has
+    # been observed to hang, so only enable when asked
+    if os.environ.get("SPF_TPU_JAX_CACHE"):
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
     import jax.numpy as jnp
     import numpy as np
@@ -242,6 +260,12 @@ def main():
         )
         print(f"# bsk fft in {time.time()-t0:.1f}s", file=sys.stderr)
 
+        if args.program:
+            return run_program_bench(
+                args, p, bsk_freq, lwe_sk_np, glwe_sk_np, use_pallas,
+                jax, np, jnp, bu,
+            )
+
         if args.cbs:
             # ---- full conversion cycle: L0 LWE -> (CBS) -> GGSW ->
             # (CMux) -> GLWE -> (extract) -> L1 LWE -> (KS) -> L0 LWE ----
@@ -294,13 +318,18 @@ def main():
                 f"# first call (compile+run): {time.time()-t0:.1f}s",
                 file=sys.stderr,
             )
+            # alternate a value-identical copy (axon memoizes identical
+            # re-submissions; see time_steps)
+            cts_copy = tuple(jnp.array(c, copy=True) for c in cts_limb)
+            variants = [cts_limb, cts_copy]
             times = []
-            for _ in range(iters):
+            for i in range(max(iters, 2)):
                 t0 = time.time()
-                out = cycle(cts_limb)
+                out = cycle(variants[i % 2])
                 jax.block_until_ready(out)
                 times.append(time.time() - t0)
             best = min(times)
+            out = cycle(cts_limb)
 
             out_np = lbb.to_u64_np(jax.device_get(out)).T  # [B, n0+1]
             phase = out_np[:, -1] - (out_np[:, :-1] * lwe_sk_np[None, :]).sum(
@@ -380,13 +409,24 @@ def main():
                 f"# first call (compile+run): {time.time()-t0:.1f}s",
                 file=sys.stderr,
             )
+            # IMPORTANT: alternate a second, distinct input buffer — the
+            # axon relay memoizes re-submission of an identical
+            # (executable, arg buffers) pair and returns the cached
+            # result in ~0.5 ms, which silently inflates throughput
+            a2 = rng.integers(0, 1 << 64, size=(bb, lwe.dim), dtype=np.uint64)
+            b2 = (a2 * lwe_sk_np[None, :]).sum(axis=1, dtype=np.uint64) + (
+                bits_in << np.uint64(63)
+            ) + e
+            cts_alt = lbb.from_u64_np(np.concatenate([a2, b2[:, None]], axis=1).T)
+            variants = [cts_limb, cts_alt]
             times = []
-            for _ in range(iters):
+            for i in range(max(iters, 2)):
                 t0 = time.time()
-                outs = add8(cts_limb)
+                outs = add8(variants[i % 2])
                 jax.block_until_ready(outs)
                 times.append(time.time() - t0)
             best = min(times)
+            outs = add8(cts_limb)  # decrypt the canonical batch below
 
             # host decrypt of each output wire (k = 1)
             s_poly = glwe_sk_np[0]
@@ -438,13 +478,18 @@ def main():
         print(
             f"# first call (compile+run): {compile_and_first:.1f}s", file=sys.stderr
         )
+        # alternate a value-identical copy: the axon relay memoizes
+        # identical (executable, arg buffers) re-submissions
+        cts_copy = tuple(jnp.array(c, copy=True) for c in cts_limb)
+        variants = [cts_limb, cts_copy]
         times = []
-        for _ in range(iters):
+        for i in range(max(iters, 2)):
             t0 = time.time()
-            out = step(cts_limb)
+            out = step(variants[i % 2])
             jax.block_until_ready(out)
             times.append(time.time() - t0)
         best = min(times)
+        out = step(cts_limb)
         pbs_per_sec = batch / best
 
         # numpy decrypt + decode under the flattened GLWE key
@@ -516,13 +561,18 @@ def main():
     compile_and_first = time.time() - t0
     print(f"# first call (compile+run): {compile_and_first:.1f}s", file=sys.stderr)
 
+    # alternate a value-identical copy (axon memoizes identical
+    # re-submissions; see time_steps)
+    cts2 = jnp.array(cts, copy=True)
+    variants = [cts, cts2]
     times = []
-    for _ in range(iters):
+    for i in range(max(iters, 2)):
         t0 = time.time()
-        out = step(cts)
+        out = step(variants[i % 2])
         jax.block_until_ready(out)
         times.append(time.time() - t0)
     best = min(times)
+    out = step(cts)
     pbs_per_sec = batch / best
 
     # --- correctness check (host decrypt) ---
@@ -571,6 +621,127 @@ def _freq_cached(name, coeff_np, use_pallas, bu, jax, np, jnp):
     return freq
 
 
+def run_program_bench(args, p, bsk_freq, lwe_sk_np, glwe_sk_np, use_pallas,
+                      jax, np, jnp, bu):
+    """Run a reference-compiled ELF program on the u32 TPU pipeline at
+    DEFAULT_128 (≙ `parasol_cpu/benches/{hamming_distance,cardio}.rs`):
+    FheComputer defers every encrypted op into one dataflow graph whose
+    flush executes as batched CBS/cmux waves on the accelerator."""
+    from spf_tpu.cpu import ArgsBuilder, FheComputer, Memory
+    from spf_tpu.cpu.memory import EncByte
+    from spf_tpu.ops.keyswitch_u32 import ksk_to_byte_planes
+    from spf_tpu.runtime.executor_u32 import (
+        U32CircuitExecutor, U32ComputeKey, U32HostEvaluation,
+    )
+    from spf_tpu.utils import host_crypto as hc
+
+    glwe = p.l1_params
+    name = args.program
+    test_data = "/root/reference/parasol_cpu/tests/test_data"
+    ak_np = np.load(os.path.join(KEY_CACHE, "default128_ak_coeff.npy"))
+    ssk_np = np.load(os.path.join(KEY_CACHE, "default128_ssk_coeff.npy"))
+    ksk_np = np.load(os.path.join(KEY_CACHE, "default128_ksk.npy"))
+    vec = np.load(os.path.join(KEY_CACHE, "default128_suitevecs.npz"))
+    assert vec["ggsw_bits"][0] == 0 and vec["ggsw_bits"][1] == 1
+    t0 = time.time()
+    key = U32ComputeKey(
+        bsk_freq=bsk_freq,
+        ak_freq=_freq_cached("ak", ak_np, use_pallas, bu, jax, np, jnp),
+        ssk_freq=_freq_cached("ssk", ssk_np, use_pallas, bu, jax, np, jnp),
+        ksk_planes=ksk_to_byte_planes(ksk_np),
+        ggsw_zero_freq=bu.bsk_to_freq_u32(
+            np.asarray(vec["ggsws"][0]), use_pallas=use_pallas
+        ),
+        ggsw_one_freq=bu.bsk_to_freq_u32(
+            np.asarray(vec["ggsws"][1]), use_pallas=use_pallas
+        ),
+    )
+    print(f"# key material ready in {time.time()-t0:.1f}s", file=sys.stderr)
+    ex = U32CircuitExecutor(key, p, use_pallas=use_pallas)
+    ev = U32HostEvaluation(p)
+    rngh = np.random.default_rng(20260818)
+
+    def enc_uint(v, w):
+        return hc.encrypt_uint_bits_np(rngh, v, w, glwe_sk_np, glwe)
+
+    def enc_bytes(bit_cts):
+        return [EncByte(bit_cts[8 * i : 8 * i + 8])
+                for i in range(len(bit_cts) // 8)]
+
+    def alloc_store(memory, byts, align=16):
+        addr = memory.try_allocate(len(byts), align)
+        for i, bb in enumerate(byts):
+            memory.store_byte(addr + i, bb)
+        return addr
+
+    def run_once():
+        with open(os.path.join(test_data, name), "rb") as f:
+            elf = f.read()
+        memory = Memory.new_from_elf(elf)
+        proc = FheComputer(ev, executor=ex)
+        if name == "hamming_distance":
+            a_bytes = (0xFEEDF00D_CAFEBABE).to_bytes(8, "little")
+            b_bytes = (0x12345678_9ABCDEF0).to_bytes(8, "little")
+            da, db = [], []
+            for x, y in zip(a_bytes, b_bytes):
+                da.extend(enc_bytes(enc_uint(x, 8)))
+                db.extend(enc_bytes(enc_uint(y, 8)))
+            a_ptr = alloc_store(memory, da)
+            b_ptr = alloc_store(memory, db)
+            call = (
+                ArgsBuilder().arg(a_ptr, 32).arg(b_ptr, 32).arg(8, 32)
+                .return_value(8).build()
+            )
+            expected = 30
+            entry = memory.get_function_entry("hamming_distance")
+        else:  # cardio (reference bench scenario: score = 3)
+            flags = sum(int(x) << i for i, x in enumerate(
+                [False, False, True, True]
+            ))
+            call = ArgsBuilder()
+            for v in (flags, 40, 50, 70, 170, 1, 1):
+                call = call.arg_encrypted(enc_uint(v, 8))
+            call = call.return_value(8).build()
+            expected = 3
+            entry = memory.get_function_entry("cardio")
+        rp = proc.run_program(entry, memory, call)
+        out_bits = []
+        bt = memory.load_byte(rp)
+        assert isinstance(bt, EncByte)
+        got = hc.decrypt_uint_bits_np(
+            [np.asarray(b) for b in bt.bits], glwe_sk_np, glwe
+        )
+        return got, expected, proc
+
+    t0 = time.time()
+    got, expected, _ = run_once()
+    first = time.time() - t0
+    print(f"# first run (compile+run): {first:.1f}s -> {got}", file=sys.stderr)
+    times = []
+    for _ in range(max(args.iters or 2, 2)):
+        t0 = time.time()
+        got, expected, proc = run_once()
+        times.append(time.time() - t0)
+    best = min(times)
+    stats = ex.wave_stats()
+    cmux = stats.get("cmux", {})
+    result = {
+        "metric": f"program_{name}_latency_s",
+        "value": round(best, 3),
+        "unit": "s",
+        "vs_baseline": 0,
+        "first_run_s": round(first, 1),
+        "correct": bool(got == expected),
+        "got": int(got),
+        "mean_cmux_batch": cmux.get("mean_batch"),
+        "mean_cbs_batch": stats.get("cbs", {}).get("mean_batch"),
+        "wave_stats": stats,
+        "backend": args.backend,
+        "platform": jax.devices()[0].platform,
+    }
+    print(json.dumps(result))
+
+
 def run_suite(args):
     """Benchmark-suite parity with the reference's criterion harnesses
     (`parasol_runtime/benches/fhe_ops.rs:40-85`: CMux, GLEV CMux,
@@ -617,19 +788,28 @@ def run_suite(args):
     be = get_backend("ds32")
 
     def time_steps(fn, *arrs, n_iters=None):
-        """Median steady-state seconds per call of jitted fn(*arrs)."""
+        """Best steady-state seconds per call of jitted fn(*arrs).
+
+        Alternates two physically distinct (but value-identical) input
+        buffer sets: the axon relay memoizes re-submission of an
+        identical (executable, arg buffers) pair and returns the cached
+        result in ~0.5 ms, silently inflating throughput."""
         fn_j = jax.jit(fn)
+        arrs2 = jax.tree_util.tree_map(
+            lambda a: jnp.array(a, copy=True), arrs
+        )
         t0 = time.time()
         out = fn_j(*arrs)
         jax.block_until_ready(out)
         first = time.time() - t0
         times = []
-        for _ in range(n_iters or iters):
+        for i in range(max(n_iters or iters, 2)):
+            use = arrs if i % 2 == 0 else arrs2
             t0 = time.time()
-            out = fn_j(*arrs)
+            out = fn_j(*use)
             jax.block_until_ready(out)
             times.append(time.time() - t0)
-        return min(times), first, out
+        return min(times), first, fn_j(*arrs)
 
     def np_decrypt_glwe0(ct, expect_bits):
         """Decode bit at coefficient 0 of batched GLWEs [B, k+1, N]."""

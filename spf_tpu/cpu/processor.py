@@ -93,9 +93,13 @@ class FheComputer:
     # (`circuit_processor/mod.rs:83-99`)
     FLUSH_NODE_BUDGET = 200_000
 
-    def __init__(self, ev: Evaluation):
+    def __init__(self, ev: Evaluation, executor=None):
+        """`executor` overrides the circuit backend: any object with
+        `run(circuit, inputs) -> outputs` over GLWE bit handles — e.g.
+        `runtime.executor_u32.U32CircuitExecutor` to run every flush on
+        the u32-limb TPU pipeline at production parameters."""
         self.ev = ev
-        self.ex = CircuitExecutor(ev)
+        self.ex = executor if executor is not None else CircuitExecutor(ev)
         self.registers = [PtVal(0, 32) for _ in range(64)]
         self.gas_used = 0
         self.gas_limit = None

@@ -36,16 +36,34 @@ class Evaluation:
         params: Params = DEFAULT_128,
         be=C128,
         precompute_constants: bool = True,
+        jit_ops: bool = True,
     ):
         self.params = params
         self.ck = compute_key
         self.be = be
         self.enc = Encryption(params)
+        # `jit_ops`: compile each op once per input shape (executables
+        # cached here for the life of the Evaluation). The eager path
+        # dispatches thousands of tiny XLA ops per circuit bootstrap —
+        # dominant cost of program-level runs on CPU. Combined with the
+        # executor's power-of-two wave padding the shape set is small.
+        self._jit_ops = jit_ops
+        self._jit_cache: dict = {}
         self.ggsw_zero = None
         self.ggsw_one = None
         if precompute_constants:
             self.ggsw_zero = self.circuit_bootstrap(self.enc.trivial_lwe_l0(0))
             self.ggsw_one = self.circuit_bootstrap(self.enc.trivial_lwe_l0(1))
+
+    def _jitted(self, name, fn):
+        if not self._jit_ops:
+            return fn
+        j = self._jit_cache.get(name)
+        if j is None:
+            import jax
+
+            j = self._jit_cache[name] = jax.jit(fn)
+        return j
 
     # --- keyless ops (`evaluation.rs:26-136`) ---
 
@@ -62,22 +80,34 @@ class Evaluation:
         return ct_ops.glwe_add(a, b)
 
     def cmux(self, sel_ggsw_fft, d0, d1):
-        return fft_ops.cmux(
-            d0, d1, sel_ggsw_fft, self.params.l1_params, self.params.cbs_radix, self.be
-        )
+        return self._jitted(
+            "cmux",
+            lambda s, a, b: fft_ops.cmux(
+                a, b, s, self.params.l1_params, self.params.cbs_radix, self.be
+            ),
+        )(sel_ggsw_fft, d0, d1)
 
     def glev_cmux(self, sel_ggsw_fft, d0, d1):
-        return fft_ops.glev_cmux(
-            d0, d1, sel_ggsw_fft, self.params.l1_params, self.params.cbs_radix, self.be
-        )
+        return self._jitted(
+            "glev_cmux",
+            lambda s, a, b: fft_ops.glev_cmux(
+                a, b, s, self.params.l1_params, self.params.cbs_radix, self.be
+            ),
+        )(sel_ggsw_fft, d0, d1)
 
     def multiply_glwe_ggsw(self, glwe, ggsw_fft):
-        return fft_ops.external_product(
-            glwe, ggsw_fft, self.params.l1_params, self.params.cbs_radix, self.be
-        )
+        return self._jitted(
+            "multiply_glwe_ggsw",
+            lambda g, s: fft_ops.external_product(
+                g, s, self.params.l1_params, self.params.cbs_radix, self.be
+            ),
+        )(glwe, ggsw_fft)
 
     def sample_extract(self, glwe, i: int):
-        return ct_ops.sample_extract(glwe, i, self.params.l1_params)
+        return self._jitted(
+            ("sample_extract", i),
+            lambda g: ct_ops.sample_extract(g, i, self.params.l1_params),
+        )(glwe)
 
     def mul_xn(self, glwe, n: int):
         """Multiply by the monomial X^n (packing shifts)."""
@@ -88,27 +118,37 @@ class Evaluation:
     def circuit_bootstrap(self, lwe_l0: jnp.ndarray):
         """L0 LWE(bit) -> L1 GGSW(bit) in the frequency domain
         (`evaluation.rs:211-225`, trace + scheme switch variant)."""
-        return cbs_ops.circuit_bootstrap(
-            lwe_l0, self.ck.bsk, self.ck.auto_keys, self.ck.ssk, self.params, self.be
-        )
+        return self._jitted(
+            "circuit_bootstrap",
+            lambda c: cbs_ops.circuit_bootstrap(
+                c, self.ck.bsk, self.ck.auto_keys, self.ck.ssk, self.params,
+                self.be,
+            ),
+        )(lwe_l0)
 
     def scheme_switch(self, glev_l1: jnp.ndarray):
         """L1 GLEV -> L1 GGSW (fft) (`evaluation.rs:231`)."""
-        return fft_ops.scheme_switch_fft(
-            glev_l1,
-            self.ck.ssk,
-            self.params.l1_params,
-            self.params.cbs_radix,
-            self.params.ss_radix,
-            self.be,
-        )
+        return self._jitted(
+            "scheme_switch",
+            lambda g: fft_ops.scheme_switch_fft(
+                g,
+                self.ck.ssk,
+                self.params.l1_params,
+                self.params.cbs_radix,
+                self.params.ss_radix,
+                self.be,
+            ),
+        )(glev_l1)
 
     def keyswitch_lwe_l1_to_l0(self, lwe_l1: jnp.ndarray) -> jnp.ndarray:
         """(`evaluation.rs:246`)"""
-        return ks_ops.keyswitch_lwe_to_lwe(
-            lwe_l1,
-            self.ck.ksk,
-            self.params.l1_params.as_lwe_def(),
-            self.params.l0_params,
-            self.params.ks_radix,
-        )
+        return self._jitted(
+            "keyswitch_lwe_l1_to_l0",
+            lambda c: ks_ops.keyswitch_lwe_to_lwe(
+                c,
+                self.ck.ksk,
+                self.params.l1_params.as_lwe_def(),
+                self.params.l0_params,
+                self.params.ks_radix,
+            ),
+        )(lwe_l1)

@@ -176,6 +176,13 @@ class CircuitExecutor:
             vals = [take(s) for s in srcs]
             if len(vals) == 1:
                 return vals[0], False
+            # pad the wave to the next power of two (repeating the last
+            # element) so the jitted op cache (`Evaluation._jitted`)
+            # sees a bounded set of batch shapes — at most log2(max
+            # wave) executables per op instead of one per distinct width
+            g = len(vals)
+            pad = (1 << (g - 1).bit_length()) - g
+            vals = vals + [vals[-1]] * pad
             if freq:
                 return be.stack(vals, axis=0), True
             return jnp.stack(vals, axis=0), True
