@@ -37,7 +37,7 @@ def main():
     ap.add_argument("--iters", type=int, default=None)
     ap.add_argument(
         "--backend", default=None,
-        choices=["ds32", "c128", "u32", "u32f", "pallas", "u32p"],
+        choices=["ds32", "c128", "u32", "u32f", "pallas", "u32p", "u32ph", "u32php"],
     )
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument(
@@ -78,7 +78,7 @@ def main():
         return run_suite(args)
     if args.cpu or args.keygen_only or args.suitevec_only:
         os.environ["JAX_PLATFORMS"] = "cpu"
-    x32 = args.backend in ("u32", "u32f", "pallas", "u32p")
+    x32 = args.backend in ("u32", "u32f", "pallas", "u32p", "u32ph", "u32php")
     if x32:
         # the limb pipeline graphs must build without x64 (Mosaic has no
         # 64-bit ints); spf_tpu skips enabling x64 under this env var
@@ -153,12 +153,13 @@ def main():
         lwe_sk = enc.generate_lwe_sk(k1, lwe)
         glwe_sk = enc.generate_glwe_sk(k2, glwe)
         keys = jax.random.split(k3, lwe.dim)
-        enc_row = jax.jit(
-            lambda k, b: enc.encrypt_ggsw_scalar(k, b, glwe_sk, glwe, radix)
-        )
-        rows = [enc_row(keys[i], lwe_sk[i]) for i in range(lwe.dim)]
+        rows = jax.jit(
+            jax.vmap(
+                lambda k, b: enc.encrypt_ggsw_scalar(k, b, glwe_sk, glwe, radix)
+            )
+        )(keys, lwe_sk)
         np.savez(sk_path, lwe_sk=np.asarray(lwe_sk), glwe_sk=np.asarray(glwe_sk))
-        np.save(bsk_path, np.asarray(jnp.stack(rows, axis=0)))
+        np.save(bsk_path, np.asarray(rows))
         print(f"# bsk done in {time.time()-t0:.1f}s", file=sys.stderr)
         # conversion-cycle keys (coefficient domain): automorphism,
         # scheme switch, L1->L0 LWE keyswitch
@@ -240,8 +241,9 @@ def main():
 
         # pallas: VMEM-resident Pallas FFTs; u32f: fused rotate+decompose
         # kernel (XLA FFTs); u32p: both
-        use_pallas = backend in ("pallas", "u32p")
+        use_pallas = backend in ("pallas", "u32p", "u32php")
         fuse_rot = backend in ("u32f", "u32p")
+        phase_rot = backend in ("u32ph", "u32php")
         rng = np.random.default_rng(20240817)
         lut_np = bootstrap.generate_lut_np([lambda x: (x + 1) % 8], glwe, bits)
 
@@ -302,7 +304,8 @@ def main():
             @jax.jit
             def cycle(c):
                 ggsw = cu.circuit_bootstrap_u32(
-                    c, bsk_freq, ak_freq, ssk_freq, p, use_pallas=use_pallas
+                    c, bsk_freq, ak_freq, ssk_freq, p, use_pallas=use_pallas,
+                    phase_rot=phase_rot,
                 )
                 m0 = lbb.zeros((glwe.size + 1, n1, c[0].shape[-1]))
                 sel = bu.cmux_u32(m0, m1, ggsw, glwe, p.cbs_radix, use_pallas)
@@ -395,7 +398,8 @@ def main():
             @jax.jit
             def add8(c):
                 ggsw = cu.circuit_bootstrap_u32(
-                    c, bsk_freq, ak_freq, ssk_freq, p, use_pallas=use_pallas
+                    c, bsk_freq, ak_freq, ssk_freq, p, use_pallas=use_pallas,
+                    phase_rot=phase_rot,
                 )
                 outs = evaluate_mux_circuit_u32(
                     circuit, ggsw, glwe, p.cbs_radix, n_add, use_pallas=use_pallas
@@ -468,7 +472,7 @@ def main():
         def step(c):
             return bu.programmable_bootstrap_u32(
                 c, lut_limb, bsk_freq, lwe, glwe, radix,
-                use_pallas=use_pallas, fuse_rot=fuse_rot,
+                use_pallas=use_pallas, fuse_rot=fuse_rot, phase_rot=phase_rot,
             )
 
         t0 = time.time()

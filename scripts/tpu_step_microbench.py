@@ -138,3 +138,55 @@ timed("rot_decomp+fwd", fwd_digits_only, acc)
 timed("inv+from_ds+add tail", inv_tail, acc)
 timed("step (fused u32f)", fused_step, acc)
 print("MICRO_OK", flush=True)
+
+
+# ---- phase-rotation step components ----
+from spf_tpu.ops import phase_rot as prm
+from spf_tpu.ops.rot_decomp_pallas import accumulate_decompose
+
+accf_pair = (accf[0], accf[1])
+PERM = prm.scrambled_perm(K) if USE_PALLAS else None
+
+
+def accdec_only(acc):
+    d, acc2 = accumulate_decompose(acc, accf_pair, radix)
+    return _mix(acc2, d)
+
+
+def pm1_only(acc):
+    pm1 = prm.phase_minus_one(t_arr, N, PERM)
+    return _mix(acc, pm1[0])
+
+
+def phase_step(acc):
+    digits_f, acc = accumulate_decompose(acc, accf_pair, radix)
+    dfft = (
+        bu.fwd_signed(digits_f, use_pallas=True)
+        if USE_PALLAS
+        else bu._fwd_ds_xla(digits_f, jnp.zeros_like(digits_f))
+    )
+    pm1 = prm.phase_minus_one(t_arr, N, PERM)
+    from spf_tpu.ops.fft_ds32_t import _cmul
+    dfft = _cmul(dfft, pm1)
+    prod_f = bu.freq_mad(dfft, row, glwe, radix)
+    prod = bu._inv_ds_xla(prod_f) if not USE_PALLAS else __import__("spf_tpu.ops.fft_pallas", fromlist=["x"]).inv_ds(prod_f)
+    return lb.add(acc, lb.from_ds(*prod))
+
+
+# gather-based phase: index matrix + 4 takes from the 2N table
+import numpy as _np
+_tabs = tuple(jnp.asarray(c) for c in prm._psi_table_np(2 * N))
+_m1m4 = jnp.asarray((1 - 4 * _np.arange(K)) % (4 * N), jnp.uint32)  # (1-4m) mod 4N
+
+
+def pm1_gather(acc):
+    idx = (t_arr[None, :] * _m1m4[:, None]) & jnp.uint32(2 * N - 1)
+    ph = tuple(jnp.take(c, idx.astype(jnp.int32), axis=0) for c in _tabs)
+    return _mix(acc, ph[0])
+
+
+timed("accdec kernel (phase)", accdec_only, acc)
+timed("pm1 doubling", pm1_only, acc)
+timed("pm1 gather", pm1_gather, acc)
+timed("phase step (full)", phase_step, acc)
+print("PHASE_MICRO_OK", flush=True)

@@ -37,10 +37,10 @@ def generate_bootstrap_key(
     (`programmable_bootstrapping.rs:34-58`). Returned in the frequency
     domain: freq [n_lwe, k+1, count, k+1, N/2]."""
     keys = jax.random.split(key, lwe.dim)
-    rows = []
-    for i in range(lwe.dim):
-        rows.append(enc.encrypt_ggsw_scalar(keys[i], lwe_sk[i], glwe_sk, glwe, radix))
-    return be.fwd_torus(jnp.stack(rows, axis=0))
+    rows = jax.vmap(
+        lambda kk, s: enc.encrypt_ggsw_scalar(kk, s, glwe_sk, glwe, radix)
+    )(keys, lwe_sk)
+    return be.fwd_torus(rows)
 
 
 def generate_blind_rotation_shift(

@@ -181,19 +181,68 @@ def blind_rotate_u32(
     radix: RadixDecomposition,
     use_pallas=None,
     fuse_rot=False,
+    phase_rot=False,
 ):
     """lut limb pair [k+1, N, B] (broadcastable), ct u32 [n0+1, B] with
     phases < 2N.
 
     `fuse_rot=True` computes each step's rotation+subtract+decomposition
     in one VMEM-resident Pallas kernel (`rot_decomp_pallas`) — the
-    separate XLA ops are HBM-bound and dominate the step."""
+    separate XLA ops are HBM-bound and dominate the step.
+
+    `phase_rot=True` eliminates the per-step coefficient-domain rotation
+    entirely: the accumulator itself is decomposed (decomposition
+    commutes with monomial multiplication) and the rotation becomes one
+    pointwise (phase - 1) multiply of the MAD output in the frequency
+    domain — see `phase_rot.py`. This is the fastest TPU path."""
     a = ct_switched[:-1]  # [n0, B]
     b = ct_switched[-1]  # [B]
     bb = ct_switched.shape[-1]
-    shape = (glwe.size + 1, glwe.degree, bb)
+    n = glwe.degree
+    shape = (glwe.size + 1, n, bb)
     lut_b = (jnp.broadcast_to(lut_limb[0], shape), jnp.broadcast_to(lut_limb[1], shape))
     acc = monomial_mul_u32(lut_b, U32(2 * glwe.degree) - b)
+
+    if phase_rot:
+        from . import phase_rot as pr
+        from .rot_decomp_pallas import accumulate_decompose
+
+        if use_pallas is None:
+            use_pallas = _on_tpu()
+        perm = pr.scrambled_perm(n // 2) if use_pallas else None
+        on_tpu = _on_tpu()
+
+        def body(i, carry):
+            acc, prod = carry
+            if on_tpu:
+                digits_f, acc = accumulate_decompose(acc, prod, radix)
+            else:
+                acc = lb.add(acc, lb.from_ds(*prod))
+                digits_f = lb.decompose(acc, radix).astype(jnp.float32)
+            dfft = (
+                fp.fwd_ds(digits_f, jnp.zeros_like(digits_f))
+                if use_pallas
+                else _fwd_ds_xla(digits_f, jnp.zeros_like(digits_f))
+            )
+            # The (phase - 1) rotation factor is constant across GGSW rows
+            # so it could equally multiply the MAD *output* (2 cmuls
+            # instead of 4) — but that fusion context collapses the ds
+            # error-free transforms under XLA:CPU (measured 2^-23 rel
+            # error, even behind an optimization_barrier), so it is
+            # applied to the digit spectra BEFORE the MAD, which is
+            # numerically robust in every context.
+            pm1 = pr.phase_minus_one(a[i], n, perm)
+            dfft = _cmul(dfft, pm1)
+            prod_f = freq_mad(dfft, tuple(c[i] for c in bsk_freq), glwe, radix)
+            prod = fp.inv_ds(prod_f) if use_pallas else _inv_ds_xla(prod_f)
+            return acc, prod
+
+        zero_prod = (
+            jnp.zeros_like(acc[0], dtype=jnp.float32),
+            jnp.zeros_like(acc[0], dtype=jnp.float32),
+        )
+        acc, prod = jax.lax.fori_loop(0, lwe.dim, body, (acc, zero_prod))
+        return lb.add(acc, lb.from_ds(*prod))
 
     if fuse_rot:
         # Deferred-accumulate loop: the fused Pallas kernel folds the
@@ -262,6 +311,7 @@ def programmable_bootstrap_u32(
     radix: RadixDecomposition,
     use_pallas=None,
     fuse_rot=False,
+    phase_rot=False,
 ):
     """Univariate PBS: LWE limb pair [n0+1, B] -> LWE limb pair
     [k*N+1, B] under the flattened GLWE key. `lut_limb` is the standard
@@ -270,6 +320,6 @@ def programmable_bootstrap_u32(
     ct_sw = lb.modulus_switch(ct, 0, 0, two_n)
     lut_t = tuple(c[..., None] for c in lut_limb)
     rotated = blind_rotate_u32(
-        lut_t, ct_sw, bsk_freq, lwe, glwe, radix, use_pallas, fuse_rot
+        lut_t, ct_sw, bsk_freq, lwe, glwe, radix, use_pallas, fuse_rot, phase_rot
     )
     return sample_extract_u32(rotated, 0, glwe)

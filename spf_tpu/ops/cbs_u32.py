@@ -185,7 +185,7 @@ def scheme_switch_u32(glev, ssk_freq, glwe: GlweDef,
 
 
 def circuit_bootstrap_u32(ct, bsk_freq, auto_keys_freq, ssk_freq,
-                          params: Params, use_pallas=None):
+                          params: Params, use_pallas=None, phase_rot=False):
     """Full WHS+24 circuit bootstrap: L0 LWE limb pair [n0+1, B] ->
     L1 GGSW freq tuple [k+1, l_cbs, k+1, K, B]
     (≙ `cbs.circuit_bootstrap`, `circuit_bootstrapping.rs:342-385`)."""
@@ -203,7 +203,8 @@ def circuit_bootstrap_u32(ct, bsk_freq, auto_keys_freq, ssk_freq,
     ct_sw = lb.modulus_switch(ct_rot, 0, _log_v(cbs_radix.count), two_n)
     lut_t = tuple(c[..., None] for c in lut)
     lo_noise = blind_rotate_u32(
-        lut_t, ct_sw, bsk_freq, p.l0_params, glwe, p.pbs_radix, use_pallas
+        lut_t, ct_sw, bsk_freq, p.l0_params, glwe, p.pbs_radix, use_pallas,
+        phase_rot=phase_rot,
     )
 
     # 2. per level i: un-rotate the functional-bootstrap offset at

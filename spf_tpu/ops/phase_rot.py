@@ -1,0 +1,126 @@
+"""Frequency-domain monomial rotation for the blind-rotation hot loop.
+
+The standard blind-rotation step rotates the accumulator by a
+per-ciphertext monomial X^t in the coefficient domain (12 bit-selected
+roll/select rounds at N=2048 — the most expensive part of the fused
+step kernel) and then gadget-decomposes the difference. This module
+eliminates the coefficient-domain rotation entirely:
+
+1. **Decomposition commutes with negacyclic monomial multiplication.**
+   Gadget decomposition is per-coefficient, and X^t permutes
+   coefficients with sign flips, so rot(decompose(acc)) is a valid
+   decomposition of rot(acc): it reconstructs rot(acc - e_dec) =
+   rot(acc) - rot(e_dec), whose reconstruction error rot(e_dec) has
+   exactly the bound of e_dec. (Sign flips negate digits; balanced
+   signed digits in [-B/2, B/2) are closed under negation up to the
+   -B/2 tie, which only re-rounds within the same error bound.)
+2. **The rotation is diagonal in the frequency domain.** The twisted
+   negacyclic FFT (`fft_ds32_t`) evaluates a polynomial at
+   psi^(1-4m), psi = e^(i*pi/N), for natural-order bin m (verified in
+   tests), so multiplying by X^t multiplies bin m by
+   phase[m] = psi^(t*(1-4m) mod 2N).
+3. **The phase factors out of the external-product MAD** (it is
+   constant across decomposition rows), so the whole per-step rotation
+   collapses to ONE pointwise multiply of the k+1 MAD outputs by
+   (phase - 1):
+
+       step: acc += IFFT( (phase(a_i) - 1) * MAD(FFT(decomp(acc)), BSK_i) )
+
+The phase vector is built without transcendentals or gathers-per-bin:
+phase[m] = C * Q^m is a geometric sequence, and C = psi^t together
+with every doubling factor Q^(2^j) = psi^(-4t*2^j mod 2N) are exact
+lookups into one precomputed 2N-entry double-single table, so each bin
+accumulates at most log2(N/2) ds complex-multiply roundings (~2^-43
+relative — the same class as the FFT twiddle error).
+
+≙ reference `rotate_glwe_positive_monomial_negacyclic` + the cmux
+decomposition of `programmable_bootstrapping.rs:385-409` — re-derived
+for TPU, where data-dependent coefficient rotations are selects/rolls
+(expensive) but pointwise complex arithmetic is native.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import ds
+from .fft_ds32_t import _cmul
+
+U32 = jnp.uint32
+
+
+@functools.lru_cache(maxsize=8)
+def _psi_table_np(two_n: int):
+    """ds components of psi^s = e^(2*pi*i*s/two_n), s in [0, two_n)."""
+    s = np.arange(two_n)
+    w = np.exp(2j * np.pi * s / two_n)
+    return (*ds.from_f64_array(w.real), *ds.from_f64_array(w.imag))
+
+
+@functools.lru_cache(maxsize=8)
+def scrambled_perm(k: int):
+    """Permutation sigma with pallas_fwd(x)[r] == natural_fwd(x)[sigma[r]]
+    for the scrambled-frequency (DIF roll) kernels in `fft_pallas`.
+
+    Derived numerically: simulate the kernel's roll/select DIF stages in
+    complex128 and match bins against the natural-order DFT. (It is the
+    plain bit-reversal permutation; the simulation keeps this correct by
+    construction if the kernel formulation ever changes.)
+    """
+    rng = np.random.default_rng(12345)
+    x = rng.standard_normal(k) + 1j * rng.standard_normal(k)
+    vals = x.copy()
+    r = np.arange(k)
+    for m in [1 << s for s in range(int(np.log2(k)), 0, -1)]:
+        half = m // 2
+        pos = r % m
+        is_a = pos < half
+        n_idx = np.where(is_a, pos, pos - half)
+        w = np.exp(-2j * np.pi * n_idx / m)
+        up = np.roll(vals, -half)
+        down = np.roll(vals, half)
+        vals = np.where(is_a, vals + up, (down - vals) * w)
+    nat = np.fft.fft(x)  # same negative-exponent convention
+    perm = np.empty(k, dtype=np.int32)
+    for i in range(k):
+        perm[i] = int(np.argmin(np.abs(nat - vals[i])))
+    assert len(set(perm.tolist())) == k, "scrambled bin matching failed"
+    assert np.allclose(nat[perm], vals, rtol=1e-9, atol=1e-6)
+    return perm
+
+
+def phase_minus_one(t: jnp.ndarray, n: int, perm: np.ndarray | None = None):
+    """(phase(t) - 1) as a ds freq tuple of 4 f32 arrays [K, B].
+
+    t: u32 [B] rotation exponents in [0, 2N). `perm` reorders the
+    natural-order bins for a scrambled-frequency backend (`fft_pallas`).
+    """
+    two_n = 2 * n
+    k = n // 2
+    tabs = tuple(jnp.asarray(c) for c in _psi_table_np(two_n))
+    t = t.astype(U32)
+    mask = U32(two_n - 1)
+
+    def look(idx):
+        return tuple(jnp.take(c, idx.astype(jnp.int32), axis=0) for c in tabs)
+
+    # seq[m] = C * Q^m, C = psi^t, Q = psi^(-4t); every doubling factor
+    # Q^(2^j) = psi^(-4t*2^j mod 2N) is an exact table lookup
+    seq = tuple(c[None, :] for c in look(t & mask))  # [1, B]
+    m_len = 1
+    j = 0
+    while m_len < k:
+        qj = look((U32(0) - (t << U32(2 + j))) & mask)
+        shifted = _cmul(seq, tuple(c[None, :] for c in qj))
+        seq = tuple(jnp.concatenate([a, b], axis=0) for a, b in zip(seq, shifted))
+        m_len *= 2
+        j += 1
+    if perm is not None:
+        idx = jnp.asarray(perm)
+        seq = tuple(jnp.take(c, idx, axis=0) for c in seq)
+    # subtract 1 from the real component (exact two_sum)
+    rh, rl = ds.add(seq[0], seq[1], jnp.float32(-1.0), jnp.float32(0.0))
+    return (rh, rl, seq[2], seq[3])

@@ -113,6 +113,45 @@ def rotate_sub_decompose_acc(acc, prod_ds, t, radix: RadixDecomposition, interpr
     return digs, (hi, lo)
 
 
+def _kernel_accdec(hi_ref, lo_ref, ph_ref, pl_ref, dig_ref, oh_ref, ol_ref, *, radix):
+    acc = (hi_ref[0], lo_ref[0])
+    acc = lb.add(acc, lb.from_ds(ph_ref[0], pl_ref[0]))
+    oh_ref[0] = acc[0]
+    ol_ref[0] = acc[1]
+    dig_ref[...] = lb.decompose(acc, radix)[:, None].astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("radix", "interpret"))
+def accumulate_decompose(acc, prod_ds, radix: RadixDecomposition, interpret=False):
+    """Phase-rotation variant of `rotate_sub_decompose_acc`: fold the
+    previous step's inverse-FFT output (ds f32 pair) into the
+    accumulator, then gadget-decompose the accumulator ITSELF — no
+    coefficient-domain rotation (it happens in the frequency domain, see
+    `phase_rot.py`). Returns (digit planes f32 [count, k+1, N, B],
+    updated acc limb pair)."""
+    kp1, n, b = acc[0].shape
+    assert b % LANES == 0, b
+    grid = (kp1, b // LANES)
+    kern = functools.partial(_kernel_accdec, radix=radix)
+    a_spec = pl.BlockSpec((1, n, LANES), lambda i, j: (i, 0, j))
+    d_spec = pl.BlockSpec((radix.count, 1, n, LANES), lambda i, j: (0, i, 0, j))
+    out_shape = [
+        jax.ShapeDtypeStruct((radix.count, kp1, n, b), jnp.float32),
+        jax.ShapeDtypeStruct((kp1, n, b), U32),
+        jax.ShapeDtypeStruct((kp1, n, b), U32),
+    ]
+    digs, hi, lo = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[a_spec] * 4,
+        out_specs=[d_spec, a_spec, a_spec],
+        out_shape=out_shape,
+        interpret=interpret,
+        compiler_params=None if interpret else _COMPILER_PARAMS,
+    )(acc[0], acc[1], prod_ds[0], prod_ds[1])
+    return digs, (hi, lo)
+
+
 @functools.partial(jax.jit, static_argnames=("radix", "interpret"))
 def rotate_sub_decompose(acc, t, radix: RadixDecomposition, interpret=False):
     """acc limb pair [k+1, N, B], t u32 [B] -> digit planes f32
