@@ -28,6 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 NORTH_STAR_PBS_PER_SEC = 10_000.0
 KEY_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".keys_cache")
+DEFAULT_TPU_BACKEND = "u32f"  # fastest measured production pipeline
 
 
 def main():
@@ -45,6 +46,9 @@ def main():
         help="benchmark the full conversion cycle (CBS -> CMux -> sample"
         " extract -> keyswitch) instead of bare PBS; x32 backends only",
     )
+    ap.add_argument("--intop", default=None, choices=["add", "mul"],
+                    help="encrypted integer op latency (CBS + cmux circuit)")
+    ap.add_argument("--width", type=int, default=None, choices=[8, 16, 32])
     ap.add_argument(
         "--e2e-add", action="store_true",
         help="run 8 encrypted u8 adds end-to-end (CBS all 128 input bits"
@@ -52,7 +56,7 @@ def main():
     )
     ap.add_argument(
         "--program", default=None,
-        choices=["hamming_distance", "cardio"],
+        choices=["hamming_distance", "cardio", "mul32"],
         help="run a reference-compiled ELF program end-to-end on the u32"
         " TPU pipeline at DEFAULT_128 (encrypted args -> deferred"
         " dataflow graph -> batched CBS/cmux waves -> decrypt); the"
@@ -78,6 +82,14 @@ def main():
         return run_suite(args)
     if args.cpu or args.keygen_only or args.suitevec_only:
         os.environ["JAX_PLATFORMS"] = "cpu"
+    if (
+        args.backend is None
+        and not (args.cpu or args.keygen_only or args.suitevec_only)
+        and "axon" in os.environ.get("JAX_PLATFORMS", "")
+    ):
+        # driver default on the TPU: the fastest production pipeline
+        # (x32 must be decided BEFORE jax imports, hence the env sniff)
+        args.backend = DEFAULT_TPU_BACKEND
     x32 = args.backend in ("u32", "u32f", "pallas", "u32p", "u32ph", "u32php")
     if x32:
         # the limb pipeline graphs must build without x64 (Mosaic has no
@@ -361,26 +373,29 @@ def main():
             print(json.dumps(result))
             return
 
-        if args.e2e_add:
-            # ---- 8 encrypted u8 adds end-to-end on hardware: CBS all
-            # 128 input bits in one batch -> levelized batched cmux
-            # ripple adder -> decrypt (VERDICT r1 #1 done-criterion) ----
+        if args.e2e_add or args.intop:
+            # ---- encrypted integer add/mul end-to-end on hardware: CBS
+            # all 2*width*n_inst input bits in one batch -> levelized
+            # batched cmux circuit -> decrypt. Widths 8/16/32 (the
+            # reference's criterion metric set: add & mul latency). ----
             from spf_tpu.circuits import integer as ic
             from spf_tpu.ops import cbs_u32 as cu
             from spf_tpu.ops.mux_eval_u32 import evaluate_mux_circuit_u32
 
+            op = args.intop or "add"
+            width = args.width or 8
             ak_np = np.load(os.path.join(KEY_CACHE, "default128_ak_coeff.npy"))
             ssk_np = np.load(os.path.join(KEY_CACHE, "default128_ssk_coeff.npy"))
             ak_freq = _freq_cached("ak", ak_np, use_pallas, bu, jax, np, jnp)
             ssk_freq = _freq_cached("ssk", ssk_np, use_pallas, bu, jax, np, jnp)
 
-            n_add, width = 8, 8
+            n_inst = max(1, 64 // width)  # 2*width*n_inst = 128 lanes
             rng2 = np.random.default_rng(11)
-            a_vals = rng2.integers(0, 256, n_add)
-            b_vals = rng2.integers(0, 256, n_add)
+            a_vals = rng2.integers(0, 1 << width, n_inst, dtype=np.uint64)
+            b_vals = rng2.integers(0, 1 << width, n_inst, dtype=np.uint64)
             bit_list = []
             for idx in range(2 * width):
-                for j in range(n_add):
+                for j in range(n_inst):
                     v = int(a_vals[j] if idx < width else b_vals[j])
                     bit_list.append((v >> (idx % width)) & 1)
             bits_in = np.array(bit_list, dtype=np.uint64)
@@ -393,21 +408,30 @@ def main():
                 bits_in << np.uint64(63)
             ) + e
             cts_limb = lbb.from_u64_np(np.concatenate([a, bcol[:, None]], axis=1).T)
-            circuit = ic.ripple_carry_adder(width, emit_carry=True)
+            if op == "add":
+                circuit = ic.ripple_carry_adder(width, emit_carry=True)
+                expected = [int(a_vals[i]) + int(b_vals[i]) for i in range(n_inst)]
+            else:
+                # widths above CIRCUIT_CUTOFF are not single circuits in
+                # the reference either (gradeschool partitioning,
+                # `mul.rs:254`); measure via the program path instead
+                assert width <= 16, "use --program mul32 for wide muls"
+                circuit = ic.unsigned_multiplier(width, width)
+                expected = [int(a_vals[i]) * int(b_vals[i]) for i in range(n_inst)]
 
             @jax.jit
-            def add8(c):
+            def run_op(c):
                 ggsw = cu.circuit_bootstrap_u32(
                     c, bsk_freq, ak_freq, ssk_freq, p, use_pallas=use_pallas,
                     phase_rot=phase_rot,
                 )
                 outs = evaluate_mux_circuit_u32(
-                    circuit, ggsw, glwe, p.cbs_radix, n_add, use_pallas=use_pallas
+                    circuit, ggsw, glwe, p.cbs_radix, n_inst, use_pallas=use_pallas
                 )
                 return tuple(tuple(o) for o in outs)
 
             t0 = time.time()
-            outs = add8(cts_limb)
+            outs = run_op(cts_limb)
             jax.block_until_ready(outs)
             print(
                 f"# first call (compile+run): {time.time()-t0:.1f}s",
@@ -426,20 +450,21 @@ def main():
             times = []
             for i in range(max(iters, 2)):
                 t0 = time.time()
-                outs = add8(variants[i % 2])
+                outs = run_op(variants[i % 2])
                 jax.block_until_ready(outs)
                 times.append(time.time() - t0)
             best = min(times)
-            outs = add8(cts_limb)  # decrypt the canonical batch below
+            outs = run_op(cts_limb)  # decrypt the canonical batch below
 
             # host decrypt of each output wire (k = 1)
             s_poly = glwe_sk_np[0]
             n1 = glwe.degree
-            sums = np.zeros(n_add, dtype=np.int64)
+            sums = np.zeros(n_inst, dtype=np.object_)
+            sums[:] = 0
             n_ok = 0
             for j, w in enumerate(outs):
-                wire = lbb.to_u64_np(jax.device_get(w))  # [k+1, N, n_add]
-                for inst in range(n_add):
+                wire = lbb.to_u64_np(jax.device_get(w))  # [k+1, N, n_inst]
+                for inst in range(n_inst):
                     a_p, b_p = wire[0, :, inst], wire[1, :, inst]
                     # negacyclic (a (*) s)[0] = a[0]s[0] - sum_{t>0} a[N-t]s[t]
                     conv0 = a_p[0] * s_poly[0] - np.sum(
@@ -448,19 +473,19 @@ def main():
                     phase = b_p[0] - conv0
                     bit = ((phase >> np.uint64(63)) + ((phase >> np.uint64(62)) & 1)) & 1
                     sums[inst] |= int(bit) << j
-            for inst in range(n_add):
-                if sums[inst] == int(a_vals[inst]) + int(b_vals[inst]):
+            for inst in range(n_inst):
+                if int(sums[inst]) == expected[inst]:
                     n_ok += 1
             result = {
-                "metric": "encrypted_u8_adds_per_sec_per_chip",
-                "value": round(n_add / best, 3),
-                "unit": "u8 adds/s",
-                "vs_baseline": round((n_add / best) / 100.0, 4),
-                "batch": n_add,
+                "metric": f"encrypted_u{width}_{op}s_per_sec_per_chip",
+                "value": round(n_inst / best, 3),
+                "unit": f"u{width} {op}s/s",
+                "vs_baseline": round((n_inst / best) / 100.0, 4),
+                "batch": n_inst,
                 "latency_s": round(best, 4),
                 "backend": backend,
                 "platform": platform,
-                "correct": f"{n_ok}/{n_add}",
+                "correct": f"{n_ok}/{n_inst}",
             }
             print(json.dumps(result))
             return
@@ -679,6 +704,43 @@ def run_program_bench(args, p, bsk_freq, lwe_sk_np, glwe_sk_np, use_pallas,
         return addr
 
     def run_once():
+        proc = None
+        if name == "mul32":
+            # synthetic 32x32 multiply through the full production path:
+            # encrypted args -> Mul instruction -> fluent gradeschool
+            # composition (widths above CIRCUIT_CUTOFF, `mul.rs:254`)
+            # -> batched CBS/cmux waves
+            from spf_tpu.cpu.isa import RP, SP, Asm
+
+            asm = (
+                Asm()
+                .load(1, SP, 32, offset=0)
+                .load(2, SP, 32, offset=4)
+                .mul(3, 1, 2)
+                .store(RP, 3, 32)
+                .ret()
+            )
+            memory = Memory()
+            entry = memory.allocate_program(asm.instrs)
+            proc = FheComputer(ev, executor=ex)
+            a_v, b_v = 51977, 40961
+            call = (
+                ArgsBuilder()
+                .arg_encrypted(enc_uint(a_v, 32))
+                .arg_encrypted(enc_uint(b_v, 32))
+                .return_value(32)
+                .build()
+            )
+            expected = (a_v * b_v) & 0xFFFFFFFF
+            rp = proc.run_program(entry, memory, call)
+            got = 0
+            for i in range(4):
+                bt = memory.load_byte(rp + i)
+                assert isinstance(bt, EncByte)
+                got |= hc.decrypt_uint_bits_np(
+                    [np.asarray(b) for b in bt.bits], glwe_sk_np, glwe
+                ) << (8 * i)
+            return got, expected, proc
         with open(os.path.join(test_data, name), "rb") as f:
             elf = f.read()
         memory = Memory.new_from_elf(elf)
@@ -926,9 +988,18 @@ def run_suite(args):
     }
     print(f"# scheme_switch: {results['scheme_switch_per_sec']}", file=sys.stderr)
 
-    # --- PBS + full conversion cycle (x32 subprocess pipelines) ---
-    for name, extra in (("pbs", []), ("cbs_cycle", ["--cbs"])):
-        cmd = [sys.executable, __file__, "--backend", "u32f"] + extra
+    # --- PBS, conversion cycle, integer ops, programs (x32 subprocesses) ---
+    jobs = [("pbs", []), ("cbs_cycle", ["--cbs"])]
+    for w in (8, 16, 32):
+        jobs.append((f"add{w}", ["--intop", "add", "--width", str(w)]))
+    for w in (8, 16):
+        jobs.append((f"mul{w}", ["--intop", "mul", "--width", str(w)]))
+    jobs.append(("mul32", ["--program", "mul32"]))
+    jobs.append(("program_hamming", ["--program", "hamming_distance"]))
+    jobs.append(("program_cardio", ["--program", "cardio"]))
+    x32_backend = os.environ.get("SPF_SUITE_X32_BACKEND", DEFAULT_TPU_BACKEND)
+    for name, extra in jobs:
+        cmd = [sys.executable, __file__, "--backend", x32_backend] + extra
         if args.batch:
             cmd += ["--batch", str(args.batch)]
         try:

@@ -73,6 +73,29 @@ def mul(ahi, alo, bhi, blo):
     return quick_two_sum(p, e)
 
 
+def mul_wsplit(ahi, alo, bhi, blo, bhh, bhl):
+    """ds multiply where the b operand's hi component ships with its
+    Veltkamp halves precomputed (bhh + bhl == bhi exactly, 12-bit
+    mantissas) — saves the runtime split of b. Used for constant
+    twiddle/phase tables; ~14% fewer flops than `mul`."""
+    p = ahi * bhi
+    ah, al = _split(ahi)
+    err = ((ah * bhh - p) + ah * bhl + al * bhh) + al * bhl
+    e = err + (ahi * blo + alo * bhi)
+    return quick_two_sum(p, e)
+
+
+def presplit_f32(x):
+    """Veltkamp halves of an f32 numpy array (host-side, exact)."""
+    import numpy as np
+
+    x = np.asarray(x, dtype=np.float32)
+    t = np.float32(_SPLIT) * x
+    hi = t - (t - x)
+    lo = x - hi
+    return hi.astype(np.float32), lo.astype(np.float32)
+
+
 def mul_f32(ahi, alo, b):
     """Multiply a ds number by a plain f32."""
     p, e = two_prod(ahi, b)

@@ -43,6 +43,7 @@ from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -90,6 +91,96 @@ def scrambled_perm(k: int):
     assert len(set(perm.tolist())) == k, "scrambled bin matching failed"
     assert np.allclose(nat[perm], vals, rtol=1e-9, atol=1e-6)
     return perm
+
+
+def _seed_factors(t: jnp.ndarray, n: int):
+    """C = psi^t [B] and the doubling factors q_j = psi^(-4t*2^j) [J, B]
+    (exact table lookups), J = log2(n/2)."""
+    two_n = 2 * n
+    k = n // 2
+    tabs = tuple(jnp.asarray(c) for c in _psi_table_np(two_n))
+    t = t.astype(U32)
+    mask = U32(two_n - 1)
+
+    def look(idx):
+        return tuple(jnp.take(c, idx.astype(jnp.int32), axis=0) for c in tabs)
+
+    c0 = look(t & mask)
+    j_count = int(np.log2(k))
+    qidx = jnp.stack(
+        [(U32(0) - (t << U32(2 + j))) & mask for j in range(j_count)], axis=0
+    )
+    qs = look(qidx)  # [J, B] per component
+    return c0, qs
+
+
+def _phase_kernel(c_ref, q_ref, orh, orl, oih, oil, *scratch, k):
+    """VMEM-resident geometric doubling: out[m] = C * prod q_j^bit_j(m),
+    then -1 on the real part. c_ref [4, 1, B], q_ref [4, J, B]. The
+    doubling writes static row-slices of 4 VMEM scratch buffers [K, B]
+    (value-level concat doubling blew Mosaic's compile; slice stores are
+    the `_stages_scratch` pattern that compiles fine)."""
+    j_count = int(np.log2(k))
+    for c in range(4):
+        scratch[c][0:1, :] = c_ref[c]
+    for j in range(j_count):
+        m = 1 << j
+        qj = tuple(q_ref[c, j][None, :] for c in range(4))  # [1, B]
+        low = tuple(scratch[c][0:m, :] for c in range(4))
+        shifted = _cmul(low, qj)
+        for c in range(4):
+            scratch[c][m:2 * m, :] = shifted[c]
+    cur = [scratch[c][...] for c in range(4)]
+    rh, rl = _ds_add_neg1(cur[0], cur[1])
+    orh[...] = rh
+    orl[...] = rl
+    oih[...] = cur[2]
+    oil[...] = cur[3]
+
+
+def _ds_add_neg1(rh, rl):
+    from . import ds as _ds
+
+    return _ds.add(rh, rl, jnp.float32(-1.0), jnp.float32(0.0))
+
+
+def phase_minus_one_pallas(t: jnp.ndarray, n: int, perm: np.ndarray | None = None,
+                           interpret: bool = False):
+    """Pallas variant of `phase_minus_one`: the geometric doubling runs
+    VMEM-resident (the XLA concat-doubling is serial and HBM-bound,
+    measured ~90 us marginal per blind-rotation step at B=256)."""
+    from jax.experimental import pallas as pl
+
+    k = n // 2
+    b = t.shape[0]
+    c0, qs = _seed_factors(t, n)
+    c_in = jnp.stack([c[None, :] for c in c0], axis=0)  # [4, 1, B]
+    q_in = jnp.stack(qs, axis=0)  # [4, J, B]
+    lanes = 128
+    assert b % lanes == 0, b
+    grid = (b // lanes,)
+    j_count = int(np.log2(k))
+    import functools as _ft
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    kern = _ft.partial(_phase_kernel, k=k)
+    outs = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((4, 1, lanes), lambda i: (0, 0, i)),
+            pl.BlockSpec((4, j_count, lanes), lambda i: (0, 0, i)),
+        ],
+        out_specs=[pl.BlockSpec((k, lanes), lambda i: (0, i))] * 4,
+        out_shape=[jax.ShapeDtypeStruct((k, b), jnp.float32)] * 4,
+        scratch_shapes=[pltpu.VMEM((k, lanes), jnp.float32) for _ in range(4)],
+        interpret=interpret,
+    )(c_in, q_in)
+    if perm is not None:
+        idx = jnp.asarray(perm)
+        outs = tuple(jnp.take(c, idx, axis=0) for c in outs)
+    return tuple(outs)
 
 
 def phase_minus_one(t: jnp.ndarray, n: int, perm: np.ndarray | None = None):

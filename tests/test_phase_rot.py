@@ -144,3 +144,23 @@ class TestPhaseRotPBS:
         np.testing.assert_array_equal(np.asarray(acc2[0]), np.asarray(acc_ref[0]))
         np.testing.assert_array_equal(np.asarray(acc2[1]), np.asarray(acc_ref[1]))
         np.testing.assert_array_equal(np.asarray(digs), np.asarray(digs_ref))
+
+
+class TestPhasePallas:
+    def test_pallas_phase_matches_xla(self):
+        """The VMEM-resident doubling kernel (interpret mode) must match
+        the XLA phase generator to ds accuracy."""
+        from spf_tpu.ops.phase_rot import phase_minus_one, phase_minus_one_pallas
+
+        n = 64
+        ts = jnp.arange(128, dtype=jnp.uint32) % (2 * n)
+        ref = phase_minus_one(ts, n)
+        got = phase_minus_one_pallas(ts, n, interpret=True)
+        for c in range(4):
+            np.testing.assert_allclose(
+                np.asarray(got[c]), np.asarray(ref[c]), rtol=0, atol=1e-5
+            )
+        # combined complex values must agree to ~2^-40 relative
+        ref_c = _to_c128(ref)
+        got_c = _to_c128(got)
+        assert np.abs(ref_c - got_c).max() < 1e-11
