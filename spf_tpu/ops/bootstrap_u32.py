@@ -231,11 +231,13 @@ def blind_rotate_u32(
             # error, even behind an optimization_barrier), so it is
             # applied to the digit spectra BEFORE the MAD, which is
             # numerically robust in every context.
-            pm1 = (
-                pr.phase_minus_one_pallas(a[i], n, perm)
-                if on_tpu
-                else pr.phase_minus_one(a[i], n, perm)
-            )
+            # NOTE: phase_minus_one_pallas (VMEM doubling kernel) is
+            # correct in interpret mode but its Mosaic compile WEDGED the
+            # axon remote-compile service (both the concat and the
+            # scratch-store formulations) — it stays off the production
+            # path until the toolchain moves; the XLA generator costs
+            # ~90 us marginal per step at B=256.
+            pm1 = pr.phase_minus_one(a[i], n, perm)
             dfft = _cmul(dfft, pm1)
             prod_f = freq_mad(dfft, tuple(c[i] for c in bsk_freq), glwe, radix)
             prod = fp.inv_ds(prod_f) if use_pallas else _inv_ds_xla(prod_f)

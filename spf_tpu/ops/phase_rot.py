@@ -148,7 +148,14 @@ def phase_minus_one_pallas(t: jnp.ndarray, n: int, perm: np.ndarray | None = Non
                            interpret: bool = False):
     """Pallas variant of `phase_minus_one`: the geometric doubling runs
     VMEM-resident (the XLA concat-doubling is serial and HBM-bound,
-    measured ~90 us marginal per blind-rotation step at B=256)."""
+    measured ~90 us marginal per blind-rotation step at B=256).
+
+    STATUS: EXPERIMENTAL — kernel math verified in interpret mode, but
+    Mosaic compilation of the doubling (both a value-level concat and a
+    scratch slice-store formulation) hung the jax-0.9.0 axon
+    remote-compile service indefinitely. Not used on the production
+    path (`bootstrap_u32` uses the XLA generator) until the toolchain
+    moves; revisit alongside `fft_pallas`'s compile notes."""
     from jax.experimental import pallas as pl
 
     k = n // 2
