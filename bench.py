@@ -1004,7 +1004,7 @@ def run_suite(args):
             cmd += ["--batch", str(args.batch)]
         try:
             r = subprocess.run(
-                cmd, cwd=repo, capture_output=True, text=True, timeout=3600
+                cmd, cwd=repo, capture_output=True, text=True, timeout=2400
             )
             line = [l for l in r.stdout.splitlines() if l.startswith("{")]
             results[name] = json.loads(line[-1]) if line else {

@@ -153,6 +153,33 @@ class TestEncryptedPrograms:
         assert decrypt_return(mem, rp, 1, ev.enc, sk) == 96
         assert proc.gas_used >= 100_000
 
+    def test_encrypted_mul32_gradeschool(self, material):
+        """32x32 encrypted multiply through the Mul instruction: widths
+        above CIRCUIT_CUTOFF compose gradeschool 16x16 blocks
+        (≙ `mul.rs:254-272`); this is the `bench.py --program mul32`
+        program at toy params."""
+        sk, ev = material
+        asm = (
+            Asm()
+            .load(1, SP, 32, offset=0)
+            .load(2, SP, 32, offset=4)
+            .mul(3, 1, 2)
+            .store(RP, 3, 32)
+            .ret()
+        )
+        mem = Memory()
+        entry = mem.allocate_program(asm.instrs)
+        proc = FheComputer(ev)
+        a_v, b_v = 51977, 40961
+        a = ev.enc.encrypt_uint_bits(jax.random.fold_in(KEY, 31), a_v, 32, sk)
+        b = ev.enc.encrypt_uint_bits(jax.random.fold_in(KEY, 32), b_v, 32, sk)
+        call = (
+            ArgsBuilder().arg_encrypted(a).arg_encrypted(b)
+            .return_value(32).build()
+        )
+        rp = proc.run_program(entry, mem, call)
+        assert decrypt_return(mem, rp, 4, ev.enc, sk) == (a_v * b_v) & 0xFFFFFFFF
+
     def test_encrypted_cmux_and_compare(self, material):
         """max(a, b) via CmpGt + Cmux over encrypted bytes."""
         sk, ev = material
