@@ -136,6 +136,46 @@ class TestCbsU32:
             np.testing.assert_array_equal(np.asarray(dec), b, err_msg=f"bit {i}")
 
 
+class TestCBSPhaseRot:
+    def test_full_conversion_selects_phase_rot(self, material):
+        """Same conversion-cycle parity with the frequency-domain
+        rotation inside the multi-functional PBS (phase_rot=True)."""
+        lwe_sk, glwe_sk, bsk_coeff, ak_coeff, ssk_coeff = material
+        glwe = P.l1_params
+        B = 4
+        bits = [1, 0, 1, 1]
+        cts = jnp.stack(
+            [
+                enc.encrypt_lwe(k(80 + i), torus.encode(b, 1), lwe_sk, LWE)
+                for i, b in enumerate(bits)
+            ]
+        )
+        bsk_u32 = bu.bsk_to_freq_u32(np.asarray(bsk_coeff))
+        ak_u32 = bu.bsk_to_freq_u32(np.asarray(ak_coeff))
+        ssk_u32 = bu.bsk_to_freq_u32(np.asarray(ssk_coeff))
+
+        ct_limb = lb.from_u64_np(np.asarray(bt.to_t_layout(cts)))
+        ggsw = jax.jit(
+            lambda c: cu.circuit_bootstrap_u32(
+                c, bsk_u32, ak_u32, ssk_u32, P, use_pallas=False,
+                phase_rot=True,
+            )
+        )(ct_limb)
+
+        m0 = lb.zeros((glwe.size + 1, glwe.degree, B))
+        one = np.zeros((glwe.size + 1, glwe.degree, 1), dtype=np.uint64)
+        one[-1, :, 0] = np.uint64(1) << np.uint64(63)
+        m1l = lb.from_u64_np(np.broadcast_to(one, (glwe.size + 1, glwe.degree, B)))
+        out = jax.jit(
+            lambda a, b: bu.cmux_u32(a, b, ggsw, glwe, P.cbs_radix, use_pallas=False)
+        )(m0, m1l)
+        out_u64 = jnp.asarray(lb.to_u64_np(out))
+        for i, b in enumerate(bits):
+            glwe_ct = bt.from_t_layout(out_u64)[i]
+            dec = torus.decode(enc.decrypt_glwe(glwe_ct, glwe_sk, glwe), 1)
+            np.testing.assert_array_equal(np.asarray(dec), b, err_msg=f"bit {i}")
+
+
 class TestMuxEvalU32:
     def test_u4_add_via_cbs_and_mux_eval(self, material):
         """Encrypted 4-bit add end-to-end on the u32 pipeline: L0 input
