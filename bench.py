@@ -28,6 +28,43 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 NORTH_STAR_PBS_PER_SEC = 10_000.0
 KEY_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".keys_cache")
+
+
+def robust_best(times):
+    """Best steady-state time, discarding axon relay memo hits.
+
+    The relay can return a cached result for a re-submitted
+    value-identical (executable, args) pair in ~0.5 ms (observed: a
+    0.46 s PBS step 'measured' at 0.1 ms, inflating throughput 4000x).
+    A memo hit is orders of magnitude faster than a real step, so drop
+    any sample under 25% of the median before taking the min. This is a
+    safety net for MIXED samples; the primary defense is that every
+    timed submission uses a value-DISTINCT input (`make_variants`), so
+    the memo can never hit in the first place."""
+    import statistics
+
+    med = statistics.median(times)
+    return min(t for t in times if t >= 0.25 * med)
+
+
+def make_variants(tree, n):
+    """n value-DISTINCT copies of an input pytree (variant 0 is the
+    original): the axon relay memoizes re-submission of value-identical
+    args to the same executable, so every timed iteration must submit a
+    different value. Variant i adds i (wrapping) to the first element of
+    the first array leaf — harmless for timing, and correctness is
+    always checked on a separate call with the pristine inputs."""
+    import jax
+    import jax.numpy as jnp
+
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    out = [tree]
+    for i in range(1, n):
+        first = leaves[0]
+        idx = (0,) * first.ndim
+        perturbed = first.at[idx].add(jnp.asarray(i, dtype=first.dtype))
+        out.append(jax.tree_util.tree_unflatten(treedef, [perturbed] + leaves[1:]))
+    return out
 DEFAULT_TPU_BACKEND = "u32f"  # fastest measured production pipeline
 
 
@@ -333,17 +370,16 @@ def main():
                 f"# first call (compile+run): {time.time()-t0:.1f}s",
                 file=sys.stderr,
             )
-            # alternate a value-identical copy (axon memoizes identical
-            # re-submissions; see time_steps)
-            cts_copy = tuple(jnp.array(c, copy=True) for c in cts_limb)
-            variants = [cts_limb, cts_copy]
+            # every timed submission must be value-distinct (axon
+            # memoizes identical re-submissions; see make_variants)
+            variants = make_variants(cts_limb, max(iters, 2))
             times = []
             for i in range(max(iters, 2)):
                 t0 = time.time()
-                out = cycle(variants[i % 2])
+                out = cycle(variants[i])
                 jax.block_until_ready(out)
                 times.append(time.time() - t0)
-            best = min(times)
+            best = robust_best(times)
             out = cycle(cts_limb)
 
             out_np = lbb.to_u64_np(jax.device_get(out)).T  # [B, n0+1]
@@ -441,19 +477,14 @@ def main():
             # axon relay memoizes re-submission of an identical
             # (executable, arg buffers) pair and returns the cached
             # result in ~0.5 ms, which silently inflates throughput
-            a2 = rng.integers(0, 1 << 64, size=(bb, lwe.dim), dtype=np.uint64)
-            b2 = (a2 * lwe_sk_np[None, :]).sum(axis=1, dtype=np.uint64) + (
-                bits_in << np.uint64(63)
-            ) + e
-            cts_alt = lbb.from_u64_np(np.concatenate([a2, b2[:, None]], axis=1).T)
-            variants = [cts_limb, cts_alt]
+            variants = make_variants(cts_limb, max(iters, 2))
             times = []
             for i in range(max(iters, 2)):
                 t0 = time.time()
-                outs = run_op(variants[i % 2])
+                outs = run_op(variants[i])
                 jax.block_until_ready(outs)
                 times.append(time.time() - t0)
-            best = min(times)
+            best = robust_best(times)
             outs = run_op(cts_limb)  # decrypt the canonical batch below
 
             # host decrypt of each output wire (k = 1)
@@ -507,17 +538,16 @@ def main():
         print(
             f"# first call (compile+run): {compile_and_first:.1f}s", file=sys.stderr
         )
-        # alternate a value-identical copy: the axon relay memoizes
-        # identical (executable, arg buffers) re-submissions
-        cts_copy = tuple(jnp.array(c, copy=True) for c in cts_limb)
-        variants = [cts_limb, cts_copy]
+        # every timed submission must be value-distinct (axon memoizes
+        # identical re-submissions; see make_variants)
+        variants = make_variants(cts_limb, max(iters, 2))
         times = []
         for i in range(max(iters, 2)):
             t0 = time.time()
-            out = step(variants[i % 2])
+            out = step(variants[i])
             jax.block_until_ready(out)
             times.append(time.time() - t0)
-        best = min(times)
+        best = robust_best(times)
         out = step(cts_limb)
         pbs_per_sec = batch / best
 
@@ -590,17 +620,16 @@ def main():
     compile_and_first = time.time() - t0
     print(f"# first call (compile+run): {compile_and_first:.1f}s", file=sys.stderr)
 
-    # alternate a value-identical copy (axon memoizes identical
-    # re-submissions; see time_steps)
-    cts2 = jnp.array(cts, copy=True)
-    variants = [cts, cts2]
+    # every timed submission must be value-distinct (axon memoizes
+    # identical re-submissions; see make_variants)
+    variants = make_variants(cts, max(iters, 2))
     times = []
     for i in range(max(iters, 2)):
         t0 = time.time()
-        out = step(variants[i % 2])
+        out = step(variants[i])
         jax.block_until_ready(out)
         times.append(time.time() - t0)
-    best = min(times)
+    best = robust_best(times)
     out = step(cts)
     pbs_per_sec = batch / best
 
@@ -788,7 +817,7 @@ def run_program_bench(args, p, bsk_freq, lwe_sk_np, glwe_sk_np, use_pallas,
         t0 = time.time()
         got, expected, proc = run_once()
         times.append(time.time() - t0)
-    best = min(times)
+    best = robust_best(times)
     stats = ex.wave_stats()
     cmux = stats.get("cmux", {})
     result = {
@@ -856,26 +885,26 @@ def run_suite(args):
     def time_steps(fn, *arrs, n_iters=None):
         """Best steady-state seconds per call of jitted fn(*arrs).
 
-        Alternates two physically distinct (but value-identical) input
-        buffer sets: the axon relay memoizes re-submission of an
-        identical (executable, arg buffers) pair and returns the cached
-        result in ~0.5 ms, silently inflating throughput."""
+        Every timed iteration submits a value-DISTINCT input set: the
+        axon relay memoizes re-submission of value-identical args to the
+        same executable and returns the cached result in ~0.5 ms,
+        silently inflating throughput (the round-1 suite's 2.1M cmux/s
+        was exactly this artifact). `robust_best` additionally drops any
+        residual memo-fast samples."""
         fn_j = jax.jit(fn)
-        arrs2 = jax.tree_util.tree_map(
-            lambda a: jnp.array(a, copy=True), arrs
-        )
+        n = max(n_iters or iters, 2)
+        variants = make_variants(arrs, n + 1)
         t0 = time.time()
-        out = fn_j(*arrs)
+        out = fn_j(*variants[n])  # compile on a throwaway variant
         jax.block_until_ready(out)
         first = time.time() - t0
         times = []
-        for i in range(max(n_iters or iters, 2)):
-            use = arrs if i % 2 == 0 else arrs2
+        for i in range(n):
             t0 = time.time()
-            out = fn_j(*use)
+            out = fn_j(*variants[i])
             jax.block_until_ready(out)
             times.append(time.time() - t0)
-        return min(times), first, fn_j(*arrs)
+        return robust_best(times), first, fn_j(*arrs)
 
     def np_decrypt_glwe0(ct, expect_bits):
         """Decode bit at coefficient 0 of batched GLWEs [B, k+1, N]."""
