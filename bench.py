@@ -668,7 +668,9 @@ def _freq_cached(name, coeff_np, use_pallas, bu, jax, np, jnp):
     remote-compile tunnel and is pure function of the cached coeff key.
     The frequency ORDER differs between the XLA and Pallas FFT kernels,
     so the cache is keyed by flavor."""
-    flavor = "pallas" if use_pallas else "xla"
+    # "xscr" = the take-free scrambled-frequency XLA convention (round 3);
+    # old "xla" (natural-order) caches are stale and must not be reused
+    flavor = "pallas" if use_pallas else "xscr"
     path = os.path.join(KEY_CACHE, f"default128_{name}_freq_{flavor}.npz")
     if os.path.exists(path):
         d = np.load(path)

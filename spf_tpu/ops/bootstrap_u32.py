@@ -34,6 +34,14 @@ def _on_tpu() -> bool:
     return jax.devices()[0].platform == "tpu"
 
 
+# Concat-free list-form FFT cores: bitwise-identical values, but measured
+# SLOWER on TPU than the reshaping cores (XLA:TPU schedules the 64-array
+# stacking poorly) — kept for A/B testing via env toggle.
+import os as _os
+
+_USE_LIST_CORES = _os.environ.get("SPF_TPU_LIST_FFT", "0") == "1"
+
+
 # Frequency-domain ORDER depends on the backend: the Pallas kernels use
 # the scrambled (DIF-output) order, the XLA path natural order via the
 # `fft_ds32_t` core. Either is fine — pointwise arithmetic only needs
@@ -44,16 +52,33 @@ def _on_tpu() -> bool:
 
 
 def _fwd_ds_xla(hi, lo):
+    """Scrambled-frequency (take-free DIF) forward: the output bin order
+    is `ft.dif_freq_order(K)`. The digit-reversal gather it avoids cost
+    ~170 us per forward call at DEFAULT_128 B=256 — more than half the
+    transform. On TPU the concat-free list core removes the big-stage
+    materializations too; XLA:CPU executes list-form graphs
+    pathologically slowly, so CPU keeps the reshaping core (bitwise
+    identical values — tested)."""
     n = hi.shape[-2]
     k = n // 2
     twist, _ = ft._twist_tables_t(n)
     z = (hi[..., :k, :], lo[..., :k, :], hi[..., k:, :], lo[..., k:, :])
-    return ft._fft_core_t(_cmul(z, twist), inverse=False)
+    z = _cmul(z, twist)
+    if _on_tpu() and _USE_LIST_CORES:
+        return ft._fft_core_t_list(z)
+    return ft._fft_core_t(z, inverse=False, take_out=False)
 
 
 def _inv_ds_xla(f):
+    """Inverse of `_fwd_ds_xla`: DIT core consuming the scrambled order,
+    emitting natural coefficient order (no gather either way)."""
     _, untwist = ft._twist_tables_t(f[0].shape[-2] * 2)
-    z = _cmul(ft._fft_core_t(f, inverse=True), untwist)
+    core = (
+        ft._ifft_core_t_list
+        if (_on_tpu() and _USE_LIST_CORES)
+        else ft._ifft_core_t_dit
+    )
+    z = _cmul(core(f), untwist)
     hi = jnp.concatenate([z[0], z[2]], axis=-2)
     lo = jnp.concatenate([z[1], z[3]], axis=-2)
     return hi, lo
@@ -209,7 +234,11 @@ def blind_rotate_u32(
 
         if use_pallas is None:
             use_pallas = _on_tpu()
+        # both backends are scrambled-frequency now: the Pallas kernels
+        # use radix-2 bit reversal (gathered perm), the XLA DIF/DIT pair
+        # a mixed-radix digit reversal (gather-free bit-image build)
         perm = pr.scrambled_perm(n // 2) if use_pallas else None
+        bit_images = None if use_pallas else ft.dif_bit_images(n // 2)
         on_tpu = _on_tpu()
 
         def body(i, carry):
@@ -224,22 +253,31 @@ def blind_rotate_u32(
                 if use_pallas
                 else _fwd_ds_xla(digits_f, jnp.zeros_like(digits_f))
             )
-            # The (phase - 1) rotation factor is constant across GGSW rows
-            # so it could equally multiply the MAD *output* (2 cmuls
-            # instead of 4) — but that fusion context collapses the ds
-            # error-free transforms under XLA:CPU (measured 2^-23 rel
-            # error, even behind an optimization_barrier), so it is
-            # applied to the digit spectra BEFORE the MAD, which is
-            # numerically robust in every context.
+            # The (phase - 1) rotation factor is constant across GGSW
+            # rows, so on TPU it multiplies the MAD *output* (k+1 = 2
+            # cmul planes instead of l*(k+1) = 4 on the digit spectra).
+            # On XLA:CPU that fusion context collapses the ds error-free
+            # transforms (measured 2^-23 rel error, even behind an
+            # optimization_barrier — CPU contracts a*b-p into fma), so
+            # CPU applies it to the digit spectra before the MAD; the
+            # TPU backend performs no FP contraction (probed: a*b-p is
+            # exactly 0 on-device), making the output-side application
+            # numerically identical.
             # NOTE: phase_minus_one_pallas (VMEM doubling kernel) is
             # correct in interpret mode but its Mosaic compile WEDGED the
             # axon remote-compile service (both the concat and the
             # scratch-store formulations) — it stays off the production
             # path until the toolchain moves; the XLA generator costs
             # ~90 us marginal per step at B=256.
-            pm1 = pr.phase_minus_one(a[i], n, perm)
-            dfft = _cmul(dfft, pm1)
+            if use_pallas:
+                pm1 = pr.phase_minus_one(a[i], n, perm)
+            else:
+                pm1 = pr.phase_minus_one_outer(a[i], n, bit_images=bit_images)
+            if not on_tpu:
+                dfft = _cmul(dfft, pm1)
             prod_f = freq_mad(dfft, tuple(c[i] for c in bsk_freq), glwe, radix)
+            if on_tpu:
+                prod_f = _cmul(prod_f, pm1)
             prod = fp.inv_ds(prod_f) if use_pallas else _inv_ds_xla(prod_f)
             return acc, prod
 

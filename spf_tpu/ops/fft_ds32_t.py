@@ -127,8 +127,12 @@ def _tables(k: int, inverse: bool):
     return big, small, br
 
 
-def _fft_core_t(comps, inverse: bool):
-    """comps: tuple of 4 f32 arrays [..., K, B] (K on axis -2)."""
+def _fft_core_t(comps, inverse: bool, take_out: bool = True):
+    """comps: tuple of 4 f32 arrays [..., K, B] (K on axis -2).
+
+    `take_out=False` skips the final digit-reversal gather and returns
+    the DIF-output (scrambled) order — for benchmarking/backends that
+    keep a consistent scrambled-frequency convention."""
     k = comps[0].shape[-2]
     bb = comps[0].shape[-1]
     lead = comps[0].shape[:-2]
@@ -208,7 +212,338 @@ def _fft_core_t(comps, inverse: bool):
         jnp.stack([ys[p][c] for p in range(cut)], axis=-2).reshape(*lead, k, bb)
         for c in range(4)
     )
+    if not take_out:
+        return stacked
     return tuple(jnp.take(c, br, axis=-2) for c in stacked)
+
+
+def _radix4_dif(xa, xb, xc, xd, tws, inverse):
+    """One radix-4 DIF butterfly group on 4 comps-tuples (quarters of a
+    block); returns the 4 output quarters (y0..y3)."""
+    t0 = _cadd(xa, xc)
+    t1 = _csub(xa, xc)
+    t2 = _cadd(xb, xd)
+    bd = _csub(xb, xd)
+    if inverse:
+        t3 = (-bd[2], -bd[3], bd[0], bd[1])
+    else:
+        t3 = (bd[2], bd[3], -bd[0], -bd[1])
+    w1, w2, w3 = tws
+    y0 = _cadd(t0, t2)
+    y1 = _cmul(_cadd(t1, t3), w1)
+    y2 = _cmul(_csub(t0, t2), w2)
+    y3 = _cmul(_csub(t1, t3), w3)
+    return y0, y1, y2, y3
+
+
+def _radix4_dit(y0, y1, y2, y3, tws):
+    """Inverse of `_radix4_dif(..., inverse=False)` up to the x4 factor
+    (absorbed in the untwist /K)."""
+    w1, w2, w3 = tws
+    u1 = _cmul(y1, w1)
+    u2 = _cmul(y2, w2)
+    u3 = _cmul(y3, w3)
+    t0 = _cadd(y0, u2)
+    t2 = _csub(y0, u2)
+    t1 = _cadd(u1, u3)
+    t3 = _csub(u1, u3)
+    it3 = (-t3[2], -t3[3], t3[0], t3[1])  # i * t3 == (b - d)
+    return _cadd(t0, t1), _cadd(t2, it3), _csub(t0, t1), _csub(t2, it3)
+
+
+def _fft_core_t_list(comps):
+    """Concat-free forward DIF core (scrambled output order, identical to
+    `_fft_core_t(..., take_out=False)` bit for bit): big radix-4 stages
+    keep blocks as separate arrays instead of concatenating — the
+    concatenates each materialized the whole working set to HBM, which
+    dominated the transform cost. One stack materializes the result."""
+    k = comps[0].shape[-2]
+    bb = comps[0].shape[-1]
+    lead = comps[0].shape[:-2]
+    big, small, _ = _tables(k, False)
+
+    blocks = [comps]  # list of comps-tuples, block size m each
+    m = k
+    for radix, tws in big:
+        if radix == 4:
+            q = m // 4
+            tws4 = tuple(tuple(t[:, None] for t in w) for w in tws)
+            nxt = []
+            for blk in blocks:
+                xa = tuple(c[..., 0 * q : 1 * q, :] for c in blk)
+                xb = tuple(c[..., 1 * q : 2 * q, :] for c in blk)
+                xc = tuple(c[..., 2 * q : 3 * q, :] for c in blk)
+                xd = tuple(c[..., 3 * q : 4 * q, :] for c in blk)
+                nxt.extend(_radix4_dif(xa, xb, xc, xd, tws4, False))
+            blocks = nxt
+            m //= 4
+        else:
+            half = m // 2
+            tww = tuple(t[:, None] for t in tws[0])
+            nxt = []
+            for blk in blocks:
+                a = tuple(c[..., :half, :] for c in blk)
+                b = tuple(c[..., half:, :] for c in blk)
+                nxt.append(_cadd(a, b))
+                nxt.append(_cmul(_csub(a, b), tww))
+            blocks = nxt
+            m //= 2
+
+    cut = min(_LIST_CUTOFF, k)
+    assert m == cut and len(blocks) == k // cut
+    # positions within each block, as lists across blocks: ys[p][c] has
+    # shape [..., k//cut, B] after stacking the block axis
+    ys = [
+        tuple(
+            jnp.stack([blk[c][..., p, :] for blk in blocks], axis=-2)
+            for c in range(4)
+        )
+        for p in range(cut)
+    ]
+    for tws in small:
+        half = m // 2
+        nxt = list(ys)
+        for base in range(0, cut, m):
+            for p in range(half):
+                a = ys[base + p]
+                b = ys[base + half + p]
+                w = tws[p]
+                nxt[base + p] = _cadd(a, b)
+                d = _csub(a, b)
+                if p == 0:
+                    nxt[base + half + p] = d
+                else:
+                    nxt[base + half + p] = (
+                        *ds.sub(*ds.mul(d[0], d[1], w[0], w[1]),
+                                *ds.mul(d[2], d[3], w[2], w[3])),
+                        *ds.add(*ds.mul(d[0], d[1], w[2], w[3]),
+                                *ds.mul(d[2], d[3], w[0], w[1])),
+                    )
+        ys = nxt
+        m //= 2
+
+    return tuple(
+        jnp.stack([ys[p][c] for p in range(cut)], axis=-2).reshape(*lead, k, bb)
+        for c in range(4)
+    )
+
+
+def _ifft_core_t_list(comps):
+    """Concat-free mirror of `_ifft_core_t_dit` (same values bit for
+    bit): small DIT stages on position lists, then big radix-4/2 DIT
+    stages on a flat list of cut-row sub-arrays with statically sliced
+    twiddles, one final stack. Avoids the per-stage concatenate
+    materializations of the reshaping formulation."""
+    k = comps[0].shape[-2]
+    bb = comps[0].shape[-1]
+    lead = comps[0].shape[:-2]
+    big, small, _ = _tables(k, True)
+
+    cut = min(_LIST_CUTOFF, k)
+    x3 = [c.reshape(*lead, k // cut, cut, bb) for c in comps]
+    ys = [tuple(c[..., p, :] for c in x3) for p in range(cut)]
+    m = 2
+    for tws in reversed(small):
+        half = m // 2
+        nxt = list(ys)
+        for base in range(0, cut, m):
+            for p in range(half):
+                u = ys[base + p]
+                v = ys[base + half + p]
+                w = tws[p]
+                if p == 0:
+                    vp = v
+                else:
+                    vp = (
+                        *ds.sub(*ds.mul(v[0], v[1], w[0], w[1]),
+                                *ds.mul(v[2], v[3], w[2], w[3])),
+                        *ds.add(*ds.mul(v[0], v[1], w[2], w[3]),
+                                *ds.mul(v[2], v[3], w[0], w[1])),
+                    )
+                nxt[base + p] = _cadd(u, vp)
+                nxt[base + half + p] = _csub(u, vp)
+        ys = nxt
+        m *= 2
+
+    # sub-array t = rows [cut*t, cut*(t+1)): stack positions per block
+    n_sub = k // cut
+    subs = [
+        tuple(
+            jnp.stack([ys[p][c][..., t, :] for p in range(cut)], axis=-2)
+            for c in range(4)
+        )
+        for t in range(n_sub)
+    ]
+
+    ms = []
+    mm = k
+    for radix, _tws in big:
+        ms.append(mm)
+        mm //= radix
+    for (radix, tws), m in zip(reversed(big), reversed(ms)):
+        per_block = m // cut  # sub-arrays per block at this stage
+        if radix == 4:
+            q = per_block // 4  # sub-arrays per quarter
+            nxt = list(subs)
+            for base in range(0, n_sub, per_block):
+                for s in range(q):
+                    wsl = tuple(
+                        tuple(t[s * cut:(s + 1) * cut, None] for t in w)
+                        for w in tws
+                    )
+                    a4, b4, c4, d4 = _radix4_dit(
+                        subs[base + 0 * q + s],
+                        subs[base + 1 * q + s],
+                        subs[base + 2 * q + s],
+                        subs[base + 3 * q + s],
+                        wsl,
+                    )
+                    nxt[base + 0 * q + s] = a4
+                    nxt[base + 1 * q + s] = b4
+                    nxt[base + 2 * q + s] = c4
+                    nxt[base + 3 * q + s] = d4
+            subs = nxt
+        else:
+            half = per_block // 2
+            nxt = list(subs)
+            for base in range(0, n_sub, per_block):
+                for s in range(half):
+                    wsl = tuple(
+                        t[s * cut:(s + 1) * cut, None] for t in tws[0]
+                    )
+                    u = subs[base + s]
+                    vp = _cmul(subs[base + half + s], wsl)
+                    nxt[base + s] = _cadd(u, vp)
+                    nxt[base + half + s] = _csub(u, vp)
+            subs = nxt
+
+    stacked = tuple(
+        jnp.stack([subs[t][c] for t in range(n_sub)], axis=-3)
+        for c in range(4)
+    )
+    return tuple(c.reshape(*lead, k, bb) for c in stacked)
+
+
+def _ifft_core_t_dit(comps):
+    """Algebraic inverse of `_fft_core_t(..., inverse=False,
+    take_out=False)`: consumes the DIF-output (digit-scrambled) order and
+    returns natural coefficient order with NO permutation gather.
+
+    Each forward stage  [a; b] -> [a+b, (a-b)*w]  inverts (up to a factor
+    of 2 per radix-2 stage, absorbed by the caller's untwist /K) to
+    v' = v*conj(w); a = u+v'; b = u-v' — i.e. a classic DIT pipeline with
+    the inverse-sign twiddle tables, stages mirrored small-to-big. The
+    digit-reversal `jnp.take` of the DIF path (a ~170 us HBM gather per
+    forward call at production shapes) disappears entirely; pointwise
+    frequency-domain consumers only need keys/phases in the same
+    scrambled order (see `dif_bit_images`)."""
+    k = comps[0].shape[-2]
+    bb = comps[0].shape[-1]
+    lead = comps[0].shape[:-2]
+    big, small, _ = _tables(k, True)  # inverse-sign twiddles, same radices
+
+    # mirrored small list stages first: m = 2 .. cut
+    cut = min(_LIST_CUTOFF, k)
+    x3 = [c.reshape(*lead, k // cut, cut, bb) for c in comps]
+    ys = [tuple(c[..., p, :] for c in x3) for p in range(cut)]
+    m = 2
+    for tws in reversed(small):
+        half = m // 2
+        nxt = list(ys)
+        for base in range(0, cut, m):
+            for p in range(half):
+                u = ys[base + p]
+                v = ys[base + half + p]
+                w = tws[p]
+                if p == 0:
+                    vp = v  # w = 1
+                else:
+                    vp = (
+                        *ds.sub(*ds.mul(v[0], v[1], w[0], w[1]),
+                                *ds.mul(v[2], v[3], w[2], w[3])),
+                        *ds.add(*ds.mul(v[0], v[1], w[2], w[3]),
+                                *ds.mul(v[2], v[3], w[0], w[1])),
+                    )
+                nxt[base + p] = _cadd(u, vp)
+                nxt[base + half + p] = _csub(u, vp)
+        ys = nxt
+        m *= 2
+    comps = tuple(
+        jnp.stack([ys[p][c] for p in range(cut)], axis=-2).reshape(*lead, k, bb)
+        for c in range(4)
+    )
+
+    # mirrored big stages: m ascending (reverse of the DIF order)
+    ms = []
+    mm = k
+    for radix, _tws in big:
+        ms.append(mm)
+        mm //= radix
+    for (radix, tws), m in zip(reversed(big), reversed(ms)):
+        x = [c.reshape(*lead, k // m, m, bb) for c in comps]
+        if radix == 4:
+            q = m // 4
+            y0 = tuple(c[..., 0 * q : 1 * q, :] for c in x)
+            y1 = tuple(c[..., 1 * q : 2 * q, :] for c in x)
+            y2 = tuple(c[..., 2 * q : 3 * q, :] for c in x)
+            y3 = tuple(c[..., 3 * q : 4 * q, :] for c in x)
+            w1, w2, w3 = (tuple(t[:, None] for t in w) for w in tws)
+            u1 = _cmul(y1, w1)
+            u2 = _cmul(y2, w2)
+            u3 = _cmul(y3, w3)
+            t0 = _cadd(y0, u2)
+            t2 = _csub(y0, u2)
+            t1 = _cadd(u1, u3)
+            t3 = _csub(u1, u3)
+            it3 = (-t3[2], -t3[3], t3[0], t3[1])  # i * t3 == (b - d)
+            a4 = _cadd(t0, t1)
+            c4 = _csub(t0, t1)
+            b4 = _cadd(t2, it3)
+            d4 = _csub(t2, it3)
+            comps = tuple(
+                jnp.concatenate([aa, bb4, cc, dd], axis=-2).reshape(*lead, k, bb)
+                for aa, bb4, cc, dd in zip(a4, b4, c4, d4)
+            )
+        else:
+            half = m // 2
+            u = tuple(c[..., :half, :] for c in x)
+            v = tuple(c[..., half:, :] for c in x)
+            tww = tuple(t[:, None] for t in tws[0])
+            vp = _cmul(v, tww)
+            top = _cadd(u, vp)
+            bot = _csub(u, vp)
+            comps = tuple(
+                jnp.concatenate([t, bo], axis=-2).reshape(*lead, k, bb)
+                for t, bo in zip(top, bot)
+            )
+    return comps
+
+
+@functools.lru_cache(maxsize=16)
+def dif_freq_order(k: int):
+    """freq_at_pos: position r of the take-free DIF output holds natural
+    frequency bin `dif_freq_order(k)[r]` (numpy i64)."""
+    _, _, br = _tables(k, False)
+    freq_at_pos = np.zeros(k, dtype=np.int64)
+    freq_at_pos[br] = np.arange(k)  # br[freq] = pos  ->  invert
+    return freq_at_pos
+
+
+@functools.lru_cache(maxsize=16)
+def dif_bit_images(k: int):
+    """The DIF digit reversal is a permutation of index BITS, so
+    f(r) = sum over set bits j of f(2^j). Returns the tuple of images
+    (f(2^0), f(2^1), ...) for building frequency-ordered geometric
+    sequences (phase tables) directly in scrambled order; asserts
+    bit-linearity as a self-check."""
+    f = dif_freq_order(k)
+    imgs = tuple(int(f[1 << j]) for j in range(k.bit_length() - 1))
+    r = np.arange(k)
+    recon = np.zeros(k, dtype=np.int64)
+    for j, img in enumerate(imgs):
+        recon += ((r >> j) & 1) * img
+    assert np.array_equal(recon, f), "DIF digit reversal is not bit-linear"
+    return imgs
 
 
 @functools.lru_cache(maxsize=16)

@@ -190,11 +190,67 @@ def phase_minus_one_pallas(t: jnp.ndarray, n: int, perm: np.ndarray | None = Non
     return tuple(outs)
 
 
-def phase_minus_one(t: jnp.ndarray, n: int, perm: np.ndarray | None = None):
+def phase_minus_one_outer(t: jnp.ndarray, n: int,
+                          bit_images: tuple[int, ...] | None = None):
+    """(phase(t) - 1) as a ds freq tuple [K, B], built as an OUTER
+    PRODUCT instead of the serial concat-doubling: split the K index
+    bits into low/high halves, build each half's geometric table by
+    doubling at [2^(J/2), B] (tiny), and combine with one broadcast
+    complex multiply [K_hi, K_lo, B] -> reshape [K, B]. The serial
+    doubling materializes log2(K) growing arrays to HBM (~90 us marginal
+    per blind-rotation step at B=256); this is one pass.
+
+    `bit_images` permutes bin order for a bit-permuted scrambled
+    backend exactly as in `phase_minus_one` (level j of the combined
+    doubling uses Q^f(2^j))."""
+    two_n = 2 * n
+    k = n // 2
+    j_count = int(np.log2(k))
+    tabs = tuple(jnp.asarray(c) for c in _psi_table_np(two_n))
+    t = t.astype(U32)
+    mask = U32(two_n - 1)
+
+    def look(idx):
+        return tuple(jnp.take(c, idx.astype(jnp.int32), axis=0) for c in tabs)
+
+    def img(j):
+        return (1 << j) if bit_images is None else bit_images[j]
+
+    def doubling(j_lo, j_hi, seed):
+        seq = tuple(c[None, :] for c in seed)  # [1, B]
+        for j in range(j_lo, j_hi):
+            qj = look((U32(0) - t * U32((4 * img(j)) % (2 * two_n))) & mask)
+            shifted = _cmul(seq, tuple(c[None, :] for c in qj))
+            seq = tuple(
+                jnp.concatenate([a, b], axis=0) for a, b in zip(seq, shifted)
+            )
+        return seq
+
+    j_half = j_count // 2
+    one = (jnp.ones_like(t, jnp.float32), jnp.zeros_like(t, jnp.float32),
+           jnp.zeros_like(t, jnp.float32), jnp.zeros_like(t, jnp.float32))
+    lo = doubling(0, j_half, look(t & mask))  # C * Q^(low bits)  [Klo, B]
+    hi = doubling(j_half, j_count, one)  # Q^(high bits)          [Khi, B]
+    full = _cmul(
+        tuple(c[:, None, :] for c in hi), tuple(c[None, :, :] for c in lo)
+    )  # [Khi, Klo, B]; r = rh * Klo + rl
+    seq = tuple(c.reshape(k, -1) for c in full)
+    rh, rl = ds.add(seq[0], seq[1], jnp.float32(-1.0), jnp.float32(0.0))
+    return (rh, rl, seq[2], seq[3])
+
+
+def phase_minus_one(t: jnp.ndarray, n: int, perm: np.ndarray | None = None,
+                    bit_images: tuple[int, ...] | None = None):
     """(phase(t) - 1) as a ds freq tuple of 4 f32 arrays [K, B].
 
     t: u32 [B] rotation exponents in [0, 2N). `perm` reorders the
-    natural-order bins for a scrambled-frequency backend (`fft_pallas`).
+    natural-order bins for a scrambled-frequency backend (`fft_pallas`)
+    via a gather. `bit_images` builds the sequence DIRECTLY in a
+    bit-permuted frequency order with zero gathers: for a scramble
+    f(r) = sum_j bit_j(r) * f(2^j) (any bit permutation — see
+    `fft_ds32_t.dif_bit_images`), doubling level j multiplies by
+    Q^f(2^j) instead of Q^(2^j), so position r accumulates exactly
+    C * Q^f(r).
     """
     two_n = 2 * n
     k = n // 2
@@ -211,7 +267,8 @@ def phase_minus_one(t: jnp.ndarray, n: int, perm: np.ndarray | None = None):
     m_len = 1
     j = 0
     while m_len < k:
-        qj = look((U32(0) - (t << U32(2 + j))) & mask)
+        img = (1 << j) if bit_images is None else bit_images[j]
+        qj = look((U32(0) - t * U32((4 * img) % (2 * two_n))) & mask)
         shifted = _cmul(seq, tuple(c[None, :] for c in qj))
         seq = tuple(jnp.concatenate([a, b], axis=0) for a, b in zip(seq, shifted))
         m_len *= 2
