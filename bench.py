@@ -65,7 +65,7 @@ def make_variants(tree, n):
         perturbed = first.at[idx].add(jnp.asarray(i, dtype=first.dtype))
         out.append(jax.tree_util.tree_unflatten(treedef, [perturbed] + leaves[1:]))
     return out
-DEFAULT_TPU_BACKEND = "u32f"  # fastest measured production pipeline
+DEFAULT_TPU_BACKEND = "u32ph"  # fastest measured production pipeline
 
 
 def main():
@@ -670,7 +670,7 @@ def _freq_cached(name, coeff_np, use_pallas, bu, jax, np, jnp):
     so the cache is keyed by flavor."""
     # "xscr" = the take-free scrambled-frequency XLA convention (round 3);
     # old "xla" (natural-order) caches are stale and must not be reused
-    flavor = "pallas" if use_pallas else "xscr"
+    flavor = "pallas" if use_pallas else "xscr8"
     path = os.path.join(KEY_CACHE, f"default128_{name}_freq_{flavor}.npz")
     if os.path.exists(path):
         d = np.load(path)

@@ -68,7 +68,20 @@ def _tables(k: int, inverse: bool):
     radices = []
     m = k
     while m > _LIST_CUTOFF:
-        if m // 4 >= _LIST_CUTOFF:
+        if m // 8 >= _LIST_CUTOFF:
+            n = np.arange(m // 8)
+            ws = []
+            w1 = np.exp(sign * 2j * np.pi * n / m)
+            w = w1.copy()
+            for _ in range(7):
+                ws.append(
+                    (*ds.from_f64_array(w.real), *ds.from_f64_array(w.imag))
+                )
+                w = w * w1
+            big.append((8, tuple(ws)))
+            radices.append(8)
+            m //= 8
+        elif m // 4 >= _LIST_CUTOFF:
             n = np.arange(m // 4)
             w1 = np.exp(sign * 2j * np.pi * n / m)
             w2 = w1 * w1
@@ -143,7 +156,19 @@ def _fft_core_t(comps, inverse: bool, take_out: bool = True):
     m = k
     for radix, tws in big:
         x = [c.reshape(*lead, k // m, m, bb) for c in comps]
-        if radix == 4:
+        if radix == 8:
+            q = m // 8
+            xs = [tuple(c[..., t * q:(t + 1) * q, :] for c in x) for t in range(8)]
+            tws8 = tuple(tuple(t[:, None] for t in w) for w in tws)
+            ys = _radix8_dif(xs, tws8, inverse)
+            comps = tuple(
+                jnp.concatenate([ys[r][c] for r in range(8)], axis=-2).reshape(
+                    *lead, k, bb
+                )
+                for c in range(4)
+            )
+            m //= 8
+        elif radix == 4:
             q = m // 4
             xa = tuple(c[..., 0 * q : 1 * q, :] for c in x)
             xb = tuple(c[..., 1 * q : 2 * q, :] for c in x)
@@ -217,6 +242,101 @@ def _fft_core_t(comps, inverse: bool, take_out: bool = True):
     return tuple(jnp.take(c, br, axis=-2) for c in stacked)
 
 
+_ISQ2 = ds.from_f64_array(np.float64(2.0 ** -0.5))
+
+
+def _scale_isq2(z):
+    """Multiply a comps tuple by the real ds constant 1/sqrt(2).
+
+    The constants MUST stay np.float32 scalars: a python float would
+    make `ds._split` run in f64 and return a full-mantissa "split",
+    silently degrading two_prod to ~f32 accuracy."""
+    c_hi, c_lo = np.float32(_ISQ2[0]), np.float32(_ISQ2[1])
+    rh, rl = ds.mul(z[0], z[1], c_hi, c_lo)
+    ih, il = ds.mul(z[2], z[3], c_hi, c_lo)
+    return (rh, rl, ih, il)
+
+
+def _mul_i(z, s):
+    """s*i*z for s = +-1 on a comps tuple."""
+    if s > 0:
+        return (-z[2], -z[3], z[0], z[1])
+    return (z[2], z[3], -z[0], -z[1])
+
+
+def _mul_w8(z, s):
+    """omega^1 * z, omega = e^(s*2*pi*i/8) = (1 + s*i)/sqrt(2)."""
+    if s > 0:
+        re = _2sub(z[0], z[1], z[2], z[3])
+        im = _2add(z[2], z[3], z[0], z[1])
+    else:
+        re = _2add(z[0], z[1], z[2], z[3])
+        im = _2sub(z[2], z[3], z[0], z[1])
+    return _scale_isq2((*re, *im))
+
+
+def _mul_w8_3(z, s):
+    """omega^3 * z = (s*i - 1)/sqrt(2) * z."""
+    if s > 0:
+        # (i - 1)/sqrt(2): re = -(zr + zi), im = zr - zi
+        re = _2add(z[0], z[1], z[2], z[3])
+        im = _2sub(z[0], z[1], z[2], z[3])
+        re = (-re[0], -re[1])
+    else:
+        re = _2sub(z[0], z[1], z[2], z[3])
+        im = _2add(z[2], z[3], z[0], z[1])
+        re = (-re[0], -re[1])
+        im = (-im[0], -im[1])
+    return _scale_isq2((*re, *im))
+
+
+def _2add(ah, al, bh, bl):
+    return ds.add(ah, al, bh, bl)
+
+
+def _2sub(ah, al, bh, bl):
+    return ds.sub(ah, al, bh, bl)
+
+
+def _dft4(z0, z1, z2, z3, s):
+    """4-point DFT, omega4 = s*i: returns (u0, u1, u2, u3)."""
+    t0 = _cadd(z0, z2)
+    t1 = _csub(z0, z2)
+    t2 = _cadd(z1, z3)
+    t3 = _mul_i(_csub(z1, z3), s)
+    return _cadd(t0, t2), _cadd(t1, t3), _csub(t0, t2), _csub(t1, t3)
+
+
+def _dft8(xs, s):
+    """8-point DFT with omega = e^(s*2*pi*i/8): y[r] = sum_t x[t] w^(rt).
+    Even outputs via DFT4 of (x_t + x_{t+4}); odd via DFT4 of
+    omega^t * (x_t - x_{t+4})."""
+    a = [_cadd(xs[t], xs[t + 4]) for t in range(4)]
+    b = [_csub(xs[t], xs[t + 4]) for t in range(4)]
+    b[1] = _mul_w8(b[1], s)
+    b[2] = _mul_i(b[2], s)
+    b[3] = _mul_w8_3(b[3], s)
+    e0, e1, e2, e3 = _dft4(a[0], a[1], a[2], a[3], s)
+    o0, o1, o2, o3 = _dft4(b[0], b[1], b[2], b[3], s)
+    return [e0, o0, e1, o1, e2, o2, e3, o3]
+
+
+def _radix8_dif(xs, tws, inverse):
+    """One radix-8 DIF butterfly group: 8 input comps-tuples (eighths of
+    a block) -> 8 output groups y_r = w_r * DFT8(x)[r]."""
+    s = 1 if inverse else -1
+    ys = _dft8(xs, s)
+    return [ys[0]] + [_cmul(ys[r], tws[r - 1]) for r in range(1, 8)]
+
+
+def _radix8_dit(ys, tws):
+    """Inverse of `_radix8_dif(..., inverse=False)` up to the x8 factor
+    (absorbed in the untwist /K): u_r = conj(w_r) * y_r, then DFT8 with
+    s = +1. `tws` are the inverse-sign twiddle tables."""
+    us = [ys[0]] + [_cmul(ys[r], tws[r - 1]) for r in range(1, 8)]
+    return _dft8(us, 1)
+
+
 def _radix4_dif(xa, xb, xc, xd, tws, inverse):
     """One radix-4 DIF butterfly group on 4 comps-tuples (quarters of a
     block); returns the 4 output quarters (y0..y3)."""
@@ -265,7 +385,19 @@ def _fft_core_t_list(comps):
     blocks = [comps]  # list of comps-tuples, block size m each
     m = k
     for radix, tws in big:
-        if radix == 4:
+        if radix == 8:
+            q = m // 8
+            tws8 = tuple(tuple(t[:, None] for t in w) for w in tws)
+            nxt = []
+            for blk in blocks:
+                xs = [
+                    tuple(c[..., t * q:(t + 1) * q, :] for c in blk)
+                    for t in range(8)
+                ]
+                nxt.extend(_radix8_dif(xs, tws8, False))
+            blocks = nxt
+            m //= 8
+        elif radix == 4:
             q = m // 4
             tws4 = tuple(tuple(t[:, None] for t in w) for w in tws)
             nxt = []
@@ -382,7 +514,22 @@ def _ifft_core_t_list(comps):
         mm //= radix
     for (radix, tws), m in zip(reversed(big), reversed(ms)):
         per_block = m // cut  # sub-arrays per block at this stage
-        if radix == 4:
+        if radix == 8:
+            q = per_block // 8
+            nxt = list(subs)
+            for base in range(0, n_sub, per_block):
+                for s in range(q):
+                    wsl = tuple(
+                        tuple(t[s * cut:(s + 1) * cut, None] for t in w)
+                        for w in tws
+                    )
+                    outs = _radix8_dit(
+                        [subs[base + t * q + s] for t in range(8)], wsl
+                    )
+                    for t in range(8):
+                        nxt[base + t * q + s] = outs[t]
+            subs = nxt
+        elif radix == 4:
             q = per_block // 4  # sub-arrays per quarter
             nxt = list(subs)
             for base in range(0, n_sub, per_block):
@@ -481,6 +628,18 @@ def _ifft_core_t_dit(comps):
         mm //= radix
     for (radix, tws), m in zip(reversed(big), reversed(ms)):
         x = [c.reshape(*lead, k // m, m, bb) for c in comps]
+        if radix == 8:
+            q = m // 8
+            ys = [tuple(c[..., t * q:(t + 1) * q, :] for c in x) for t in range(8)]
+            tws8 = tuple(tuple(t[:, None] for t in w) for w in tws)
+            outs = _radix8_dit(ys, tws8)
+            comps = tuple(
+                jnp.concatenate([outs[t][c] for t in range(8)], axis=-2).reshape(
+                    *lead, k, bb
+                )
+                for c in range(4)
+            )
+            continue
         if radix == 4:
             q = m // 4
             y0 = tuple(c[..., 0 * q : 1 * q, :] for c in x)
