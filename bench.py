@@ -75,7 +75,12 @@ def main():
     ap.add_argument("--iters", type=int, default=None)
     ap.add_argument(
         "--backend", default=None,
-        choices=["ds32", "c128", "u32", "u32f", "pallas", "u32p", "u32ph", "u32php"],
+        choices=["ds32", "c128", "u32", "u32f", "pallas", "u32p", "u32ph",
+                 "u32php", "u32mb"],
+    )
+    ap.add_argument(
+        "--group", type=int, default=3,
+        help="multi-bit blind-rotation group size (u32mb backend)",
     )
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument(
@@ -104,6 +109,11 @@ def main():
         help="generate and cache DEFAULT_128 keys, then exit (CPU backend)",
     )
     ap.add_argument(
+        "--keygen-mb", action="store_true",
+        help="generate and cache the multi-bit bootstrap key for --group,"
+        " then exit (CPU backend; requires the base keys)",
+    )
+    ap.add_argument(
         "--suitevec-only", action="store_true",
         help="generate and cache suite test-vector ciphertexts (CPU backend)",
     )
@@ -117,7 +127,7 @@ def main():
 
     if args.suite:
         return run_suite(args)
-    if args.cpu or args.keygen_only or args.suitevec_only:
+    if args.cpu or args.keygen_only or args.keygen_mb or args.suitevec_only:
         os.environ["JAX_PLATFORMS"] = "cpu"
     if (
         args.backend is None
@@ -127,7 +137,9 @@ def main():
         # driver default on the TPU: the fastest production pipeline
         # (x32 must be decided BEFORE jax imports, hence the env sniff)
         args.backend = DEFAULT_TPU_BACKEND
-    x32 = args.backend in ("u32", "u32f", "pallas", "u32p", "u32ph", "u32php")
+    x32 = args.backend in (
+        "u32", "u32f", "pallas", "u32p", "u32ph", "u32php", "u32mb"
+    )
     if x32:
         # the limb pipeline graphs must build without x64 (Mosaic has no
         # 64-bit ints); spf_tpu skips enabling x64 under this env var
@@ -135,7 +147,7 @@ def main():
 
     import jax
 
-    if args.cpu or args.keygen_only or args.suitevec_only:
+    if args.cpu or args.keygen_only or args.keygen_mb or args.suitevec_only:
         jax.config.update("jax_platforms", "cpu")
     if not x32:
         jax.config.update("jax_enable_x64", True)
@@ -228,6 +240,24 @@ def main():
         print(f"# ak/ssk/ksk done in {time.time()-t0:.1f}s", file=sys.stderr)
         return
 
+    if args.keygen_mb:
+        # multi-bit bootstrap key (u64 encryption -> CPU backend)
+        from spf_tpu.ops import multibit as mb
+
+        g = args.group
+        data = np.load(sk_path)
+        lwe_sk = jnp.asarray(data["lwe_sk"])
+        glwe_sk = jnp.asarray(data["glwe_sk"])
+        kmb = jax.random.fold_in(key, 4242 + g)
+        rows = mb.generate_multibit_bsk(kmb, lwe_sk, glwe_sk, glwe, radix, g)
+        np.save(
+            os.path.join(KEY_CACHE, f"default128_bskmb{g}_coeff.npy"),
+            np.asarray(rows),
+        )
+        print(f"# multibit bsk (g={g}) done in {time.time()-t0:.1f}s",
+              file=sys.stderr)
+        return
+
     if args.suitevec_only:
         # encrypted test vectors for the benchmark suite (encryption
         # uses exact u64 polynomial products -> CPU backend):
@@ -293,6 +323,7 @@ def main():
         use_pallas = backend in ("pallas", "u32p", "u32php")
         fuse_rot = backend in ("u32f", "u32p")
         phase_rot = backend in ("u32ph", "u32php")
+        multibit = backend == "u32mb"
         rng = np.random.default_rng(20240817)
         lut_np = bootstrap.generate_lut_np([lambda x: (x + 1) % 8], glwe, bits)
 
@@ -306,9 +337,28 @@ def main():
         cts_np = np.concatenate([a, b[:, None]], axis=1)  # [B, n0+1]
 
         t0 = time.time()
-        bsk_freq = _freq_cached(
-            "bsk", bsk_coeff_np, use_pallas, bu, jax, np, jnp
-        )
+        if multibit:
+            g = args.group
+            mb_path = os.path.join(KEY_CACHE, f"default128_bskmb{g}_coeff.npy")
+            if not os.path.exists(mb_path):
+                import subprocess
+
+                print(f"# generating multibit bsk (g={g}) in a CPU"
+                      " subprocess...", file=sys.stderr)
+                env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="")
+                env.pop("SPF_TPU_X32", None)
+                subprocess.run(
+                    [sys.executable, __file__, "--keygen-mb", "--group", str(g)],
+                    env=env, check=True,
+                    cwd=os.path.dirname(os.path.abspath(__file__)),
+                )
+            bsk_freq = _freq_cached(
+                f"bskmb{g}", np.load(mb_path), use_pallas, bu, jax, np, jnp
+            )
+        else:
+            bsk_freq = _freq_cached(
+                "bsk", bsk_coeff_np, use_pallas, bu, jax, np, jnp
+            )
         print(f"# bsk fft in {time.time()-t0:.1f}s", file=sys.stderr)
 
         if args.program:
@@ -524,12 +574,24 @@ def main():
         lut_limb = lbb.from_u64_np(lut_np)
         cts_limb = lbb.from_u64_np(cts_np.T)  # t-layout [n0+1, B]
 
-        @jax.jit
-        def step(c):
-            return bu.programmable_bootstrap_u32(
-                c, lut_limb, bsk_freq, lwe, glwe, radix,
-                use_pallas=use_pallas, fuse_rot=fuse_rot, phase_rot=phase_rot,
-            )
+        if multibit:
+            from spf_tpu.ops import multibit as mb
+
+            @jax.jit
+            def step(c):
+                return mb.programmable_bootstrap_multibit_u32(
+                    c, lut_limb, bsk_freq, lwe, glwe, radix, args.group,
+                    use_pallas=use_pallas,
+                )
+        else:
+
+            @jax.jit
+            def step(c):
+                return bu.programmable_bootstrap_u32(
+                    c, lut_limb, bsk_freq, lwe, glwe, radix,
+                    use_pallas=use_pallas, fuse_rot=fuse_rot,
+                    phase_rot=phase_rot,
+                )
 
         t0 = time.time()
         out = step(cts_limb)

@@ -234,12 +234,15 @@ def blind_rotate_u32(
 
         if use_pallas is None:
             use_pallas = _on_tpu()
-        # both backends are scrambled-frequency now: the Pallas kernels
-        # use radix-2 bit reversal (gathered perm), the XLA DIF/DIT pair
-        # a mixed-radix digit reversal (gather-free bit-image build)
-        perm = pr.scrambled_perm(n // 2) if use_pallas else None
-        bit_images = None if use_pallas else ft.dif_bit_images(n // 2)
         on_tpu = _on_tpu()
+        # The outer-product FACTORS of all (phase(a_i) - 1) tables are
+        # generated up front in one vectorized pass over the step axis
+        # (two [n0, ~sqrt(K), B] half-tables, ~16x smaller than the full
+        # [n0, K, B] table — which was measured SLOWER than in-loop
+        # generation at 2.7 GB of HBM + transpose). In-loop, each step
+        # combines its factors with ONE broadcast complex multiply
+        # (~one poly-mul) instead of the serial doubling (~90 us).
+        ph_lo, ph_hi = pr.phase_factors_all(a, n, use_pallas)
 
         def body(i, carry):
             acc, prod = carry
@@ -263,16 +266,9 @@ def blind_rotate_u32(
             # TPU backend performs no FP contraction (probed: a*b-p is
             # exactly 0 on-device), making the output-side application
             # numerically identical.
-            # NOTE: phase_minus_one_pallas (VMEM doubling kernel) is
-            # correct in interpret mode but its Mosaic compile WEDGED the
-            # axon remote-compile service (both the concat and the
-            # scratch-store formulations) — it stays off the production
-            # path until the toolchain moves; the XLA generator costs
-            # ~90 us marginal per step at B=256.
-            if use_pallas:
-                pm1 = pr.phase_minus_one(a[i], n, perm)
-            else:
-                pm1 = pr.phase_minus_one_outer(a[i], n, bit_images=bit_images)
+            pm1 = pr.combine_phase_minus_one(
+                tuple(c[i] for c in ph_lo), tuple(c[i] for c in ph_hi)
+            )
             if not on_tpu:
                 dfft = _cmul(dfft, pm1)
             prod_f = freq_mad(dfft, tuple(c[i] for c in bsk_freq), glwe, radix)

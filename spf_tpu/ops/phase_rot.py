@@ -239,6 +239,79 @@ def phase_minus_one_outer(t: jnp.ndarray, n: int,
     return (rh, rl, seq[2], seq[3])
 
 
+def backend_bit_images(n: int, use_pallas: bool):
+    """Frequency-order bit images for a backend's scramble: position r
+    holds natural bin f(r) = sum_j bit_j(r) * images[j]. The Pallas DIF
+    roll kernels emit plain bit reversal (tested by
+    `scrambled_perm`/`test_scrambled_perm_is_bitrev`); the XLA DIF/DIT
+    pair a mixed-radix digit reversal (`fft_ds32_t.dif_bit_images`)."""
+    k = n // 2
+    j_count = int(np.log2(k))
+    if use_pallas:
+        return tuple(1 << (j_count - 1 - j) for j in range(j_count))
+    from .fft_ds32_t import dif_bit_images
+
+    return dif_bit_images(k)
+
+
+def phase_factors_all(a: jnp.ndarray, n: int, use_pallas: bool):
+    """Hoisted per-step OUTER-PRODUCT FACTORS of the rotation phases:
+    a u32 [steps, B] -> (lo, hi), ds tuples of 4 f32 [steps, Klo, B] /
+    [steps, Khi, B], such that for every step
+
+        phase[r] = hi[r // Klo] * lo[r % Klo]        (before the -1)
+
+    in the chosen backend's frequency order. The full [steps, K, B]
+    table costs ~2.7 GB of HBM traffic + a large transpose at
+    DEFAULT_128 B=256 (measured SLOWER than in-loop generation);
+    the factors are K/ (Klo+Khi) ~ 16x smaller, and the in-loop
+    `combine_phase_minus_one` is one broadcast complex multiply
+    (~one poly-mul, vs ~90 us for the serial in-loop doubling)."""
+    steps, bb = a.shape
+    two_n = 2 * n
+    k = n // 2
+    j_count = int(np.log2(k))
+    j_half = j_count // 2
+    images = backend_bit_images(n, use_pallas)
+    tabs = tuple(jnp.asarray(c) for c in _psi_table_np(two_n))
+    t = a.reshape(steps * bb).astype(U32)
+    mask = U32(two_n - 1)
+
+    def look(idx):
+        return tuple(jnp.take(c, idx.astype(jnp.int32), axis=0) for c in tabs)
+
+    def doubling(j_lo, j_hi, seed):
+        seq = tuple(c[None, :] for c in seed)  # [1, t]
+        for j in range(j_lo, j_hi):
+            qj = look((U32(0) - t * U32((4 * images[j]) % (2 * two_n))) & mask)
+            shifted = _cmul(seq, tuple(c[None, :] for c in qj))
+            seq = tuple(
+                jnp.concatenate([x, y], axis=0) for x, y in zip(seq, shifted)
+            )
+        return tuple(
+            jnp.moveaxis(c.reshape(-1, steps, bb), 1, 0) for c in seq
+        )
+
+    one = (jnp.ones_like(t, jnp.float32), jnp.zeros_like(t, jnp.float32),
+           jnp.zeros_like(t, jnp.float32), jnp.zeros_like(t, jnp.float32))
+    lo = doubling(0, j_half, look(t & mask))  # C * Q^(low bits)
+    hi = doubling(j_half, j_count, one)  # Q^(high bits)
+    return lo, hi
+
+
+def combine_phase_minus_one(lo_t, hi_t):
+    """One step's (phase - 1) from its factors: lo_t [Klo, B] ds tuple,
+    hi_t [Khi, B] -> ds tuple [K, B] (r = rh * Klo + rl)."""
+    klo = lo_t[0].shape[0]
+    khi = hi_t[0].shape[0]
+    full = _cmul(
+        tuple(c[:, None, :] for c in hi_t), tuple(c[None, :, :] for c in lo_t)
+    )  # [Khi, Klo, B]
+    seq = tuple(c.reshape(khi * klo, -1) for c in full)
+    rh, rl = ds.add(seq[0], seq[1], jnp.float32(-1.0), jnp.float32(0.0))
+    return (rh, rl, seq[2], seq[3])
+
+
 def phase_minus_one(t: jnp.ndarray, n: int, perm: np.ndarray | None = None,
                     bit_images: tuple[int, ...] | None = None):
     """(phase(t) - 1) as a ds freq tuple of 4 f32 arrays [K, B].
