@@ -65,7 +65,11 @@ def make_variants(tree, n):
         perturbed = first.at[idx].add(jnp.asarray(i, dtype=first.dtype))
         out.append(jax.tree_util.tree_unflatten(treedef, [perturbed] + leaves[1:]))
     return out
-DEFAULT_TPU_BACKEND = "u32ph"  # fastest measured production pipeline
+DEFAULT_TPU_BACKEND = "u32mb"  # fastest measured production pipeline
+# multi-bit blind-rotation group size: g=2 measured fastest at
+# DEFAULT_128 batch 256 (907 PBS/s vs 878 at g=3 — the 2^g-1 MAD +
+# phase-application growth overtakes the FFT amortization past g=2)
+DEFAULT_MB_GROUP = 2
 
 
 def main():
@@ -79,7 +83,7 @@ def main():
                  "u32php", "u32mb"],
     )
     ap.add_argument(
-        "--group", type=int, default=3,
+        "--group", type=int, default=DEFAULT_MB_GROUP,
         help="multi-bit blind-rotation group size (u32mb backend)",
     )
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")

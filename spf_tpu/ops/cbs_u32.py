@@ -202,10 +202,25 @@ def circuit_bootstrap_u32(ct, bsk_freq, auto_keys_freq, ssk_freq,
     lut = lb.from_u64_np(multifunctional_cbs_lut_np(glwe, cbs_radix))
     ct_sw = lb.modulus_switch(ct_rot, 0, _log_v(cbs_radix.count), two_n)
     lut_t = tuple(c[..., None] for c in lut)
-    lo_noise = blind_rotate_u32(
-        lut_t, ct_sw, bsk_freq, p.l0_params, glwe, p.pbs_radix, use_pallas,
-        phase_rot=phase_rot,
-    )
+    if bsk_freq[0].ndim == 6:
+        # multi-bit bootstrap key [n_groups, 2^g - 1, k+1, l, k+1, K]:
+        # group size inferred from the subset axis (`multibit.py`) — the
+        # blind rotation inside CBS is the same hot loop as bare PBS and
+        # amortizes its FFTs over g key bits per step
+        from .multibit import blind_rotate_multibit_u32
+
+        ns = bsk_freq[0].shape[1]
+        group = (ns + 1).bit_length() - 1
+        assert (1 << group) - 1 == ns, bsk_freq[0].shape
+        lo_noise = blind_rotate_multibit_u32(
+            lut_t, ct_sw, bsk_freq, p.l0_params, glwe, p.pbs_radix, group,
+            use_pallas,
+        )
+    else:
+        lo_noise = blind_rotate_u32(
+            lut_t, ct_sw, bsk_freq, p.l0_params, glwe, p.pbs_radix, use_pallas,
+            phase_rot=phase_rot,
+        )
 
     # 2. per level i: un-rotate the functional-bootstrap offset at
     # coefficient i, multiply by X^{-i}, shr-round by log2 N (· N^{-1}),

@@ -176,6 +176,53 @@ class TestCBSPhaseRot:
             np.testing.assert_array_equal(np.asarray(dec), b, err_msg=f"bit {i}")
 
 
+class TestCBSMultibit:
+    def test_full_conversion_selects_multibit(self, material):
+        """Conversion-cycle parity with a MULTI-BIT bootstrap key inside
+        the CBS (auto-detected from the key's subset axis): the grouped
+        blind rotation amortizes its FFTs over g key bits per step
+        (`multibit.py`), and the GGSW outputs must still select
+        correctly under cmux."""
+        from spf_tpu.ops import multibit as mb
+
+        lwe_sk, glwe_sk, _, ak_coeff, ssk_coeff = material
+        glwe = P.l1_params
+        B = 4
+        bits = [0, 1, 0, 1]
+        cts = jnp.stack(
+            [
+                enc.encrypt_lwe(k(90 + i), torus.encode(b, 1), lwe_sk, LWE)
+                for i, b in enumerate(bits)
+            ]
+        )
+        bsk_mb = mb.generate_multibit_bsk(
+            k(5), lwe_sk, glwe_sk, glwe, P.pbs_radix, 2
+        )
+        bsk_mb_u32 = bu.bsk_to_freq_u32(np.asarray(bsk_mb))
+        ak_u32 = bu.bsk_to_freq_u32(np.asarray(ak_coeff))
+        ssk_u32 = bu.bsk_to_freq_u32(np.asarray(ssk_coeff))
+
+        ct_limb = lb.from_u64_np(np.asarray(bt.to_t_layout(cts)))
+        ggsw = jax.jit(
+            lambda c: cu.circuit_bootstrap_u32(
+                c, bsk_mb_u32, ak_u32, ssk_u32, P, use_pallas=False
+            )
+        )(ct_limb)
+
+        m0 = lb.zeros((glwe.size + 1, glwe.degree, B))
+        one = np.zeros((glwe.size + 1, glwe.degree, 1), dtype=np.uint64)
+        one[-1, :, 0] = np.uint64(1) << np.uint64(63)
+        m1l = lb.from_u64_np(np.broadcast_to(one, (glwe.size + 1, glwe.degree, B)))
+        out = jax.jit(
+            lambda a, b: bu.cmux_u32(a, b, ggsw, glwe, P.cbs_radix, use_pallas=False)
+        )(m0, m1l)
+        out_u64 = jnp.asarray(lb.to_u64_np(out))
+        for i, b in enumerate(bits):
+            glwe_ct = bt.from_t_layout(out_u64)[i]
+            dec = torus.decode(enc.decrypt_glwe(glwe_ct, glwe_sk, glwe), 1)
+            np.testing.assert_array_equal(np.asarray(dec), b, err_msg=f"bit {i}")
+
+
 class TestMuxEvalU32:
     def test_u4_add_via_cbs_and_mux_eval(self, material):
         """Encrypted 4-bit add end-to-end on the u32 pipeline: L0 input
