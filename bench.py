@@ -48,21 +48,28 @@ def robust_best(times):
 
 
 def make_variants(tree, n):
-    """n value-DISTINCT copies of an input pytree (variant 0 is the
-    original): the axon relay memoizes re-submission of value-identical
-    args to the same executable, so every timed iteration must submit a
-    different value. Variant i adds i (wrapping) to the first element of
-    the first array leaf — harmless for timing, and correctness is
-    always checked on a separate call with the pristine inputs."""
+    """n value-DISTINCT copies of an input pytree: the axon relay
+    memoizes re-submission of value-identical args, so every timed
+    iteration must submit a different value. Variant i adds a
+    PER-PROCESS random salt + i (wrapping) to the first element of the
+    first array leaf — the salt keeps values distinct even across
+    bench processes (the relay memo has been observed to hit ACROSS
+    runs: a g=3 multibit bench once 'measured' 0.1 ms steps because
+    every deterministic variant had been submitted hours earlier).
+    Harmless for timing; correctness is always checked on a separate
+    call with the pristine inputs."""
+    import os
+
     import jax
     import jax.numpy as jnp
 
+    salt = int.from_bytes(os.urandom(4), "little")
     leaves, treedef = jax.tree_util.tree_flatten(tree)
-    out = [tree]
-    for i in range(1, n):
+    out = []
+    for i in range(n):
         first = leaves[0]
         idx = (0,) * first.ndim
-        perturbed = first.at[idx].add(jnp.asarray(i, dtype=first.dtype))
+        perturbed = first.at[idx].add(jnp.asarray(salt + i, dtype=first.dtype))
         out.append(jax.tree_util.tree_unflatten(treedef, [perturbed] + leaves[1:]))
     return out
 DEFAULT_TPU_BACKEND = "u32mb"  # fastest measured production pipeline
@@ -449,6 +456,10 @@ def main():
                     " decrypted correctly",
                     file=sys.stderr,
                 )
+            # noise margin: bits between the worst observed phase error
+            # and the decryption decision boundary (2^62 for 1-bit msgs)
+            err = (phase - (bits_in << np.uint64(63))).astype(np.int64)
+            margin = round(62 - np.log2(max(float(np.abs(err).max()), 1.0)), 1)
             result = {
                 "metric": "conversion_cycles_per_sec_per_chip",
                 "value": round(batch / best, 2),
@@ -459,6 +470,7 @@ def main():
                 "backend": backend,
                 "platform": platform,
                 "correct": f"{n_correct}/{batch}",
+                "noise_margin_bits": margin,
             }
             print(json.dumps(result))
             return
@@ -632,6 +644,14 @@ def main():
                 " correctly",
                 file=sys.stderr,
             )
+        # noise margin: bits between the worst observed phase error and
+        # the decision boundary 2^(64-bits-1)
+        err = (phase - (expected.astype(np.uint64) << np.uint64(64 - bits))).astype(
+            np.int64
+        )
+        margin = round(
+            64 - bits - 1 - np.log2(max(float(np.abs(err).max()), 1.0)), 1
+        )
         result = {
             "metric": "programmable_bootstraps_per_sec_per_chip",
             "value": round(pbs_per_sec, 2),
@@ -642,6 +662,7 @@ def main():
             "backend": backend,
             "platform": platform,
             "correct": f"{n_correct}/{batch}",
+            "noise_margin_bits": margin,
         }
         print(json.dumps(result))
         return

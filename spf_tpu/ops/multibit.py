@@ -121,6 +121,30 @@ def _subset_phases(u, group: int):
     return c[1:]
 
 
+def _nested_subset_sum(mads, u, group: int):
+    """Horner-factored Σ_S (Π_{j in S} u_j) ⊙ mads[S - 1] over nonempty
+    subsets S of {0..g-1}: the recursion
+
+        R(j, base) = u_j ⊙ (M[base|2^j] + R(j+1, base|2^j)) + R(j+1, base)
+
+    evaluates the sum with 2^g - 1 output-plane complex multiplies and
+    ZERO explicit subset-phase products (`_subset_phases` spends
+    2^g - 1 - g extra [K, B] multiplies building Π_{j in S} u_j up
+    front — pure savings at g >= 2, growing with g)."""
+
+    def rec(j, base):
+        if j == group:
+            return None
+        with_j = base | (1 << j)
+        inner = rec(j + 1, with_j)
+        t = mads[with_j - 1] if inner is None else _cadd(mads[with_j - 1], inner)
+        term = _cmul(t, u[j])
+        rest = rec(j + 1, base)
+        return term if rest is None else _cadd(term, rest)
+
+    return rec(0, 0)
+
+
 def blind_rotate_multibit_u32(
     lut_limb,
     ct_switched: jnp.ndarray,
@@ -184,26 +208,30 @@ def blind_rotate_multibit_u32(
             )
             for j in range(group)
         ]
-        cs = _subset_phases(u, group)
         row = tuple(c[t] for c in bsk_mb_freq)  # [ns, k+1, l, k+1, K]
-        prod_f = None
-        for m in range(ns):
-            bsk_s = tuple(c[m] for c in row)
-            if on_tpu:
-                # MAD per subset, phase on the (k+1)-plane MAD output —
-                # measured FASTER than combining the GGSWs first
-                # (G_eff = sum_S c_S*BSK_S then one MAD is flop-minimal
-                # on paper but materializes a [k+1,l,k+1,K,B] operand:
-                # 878 -> 779 PBS/s at g=3, B=256). Output-side phase is
-                # safe on TPU, which performs no FP contraction (see the
-                # note in `bootstrap_u32.blind_rotate_u32`).
-                term = _cmul(freq_mad(dfft, bsk_s, glwe, radix), cs[m])
-            else:
-                # XLA:CPU contracts a*b-p into fma inside the MAD-output
-                # fusion context, collapsing the ds error-free
-                # transforms — apply the phase to the digit spectra
+        if on_tpu:
+            # MAD per subset, phases Horner-factored over the (k+1)-plane
+            # MAD outputs (`_nested_subset_sum`) — measured FASTER than
+            # combining the GGSWs first (G_eff = sum_S c_S*BSK_S then one
+            # MAD is flop-minimal on paper but materializes a
+            # [k+1,l,k+1,K,B] operand: 878 -> 779 PBS/s at g=3, B=256).
+            # Output-side phase is safe on TPU, which performs no FP
+            # contraction (see the note in `bootstrap_u32.blind_rotate_u32`).
+            mads = [
+                freq_mad(dfft, tuple(c[m] for c in row), glwe, radix)
+                for m in range(ns)
+            ]
+            prod_f = _nested_subset_sum(mads, u, group)
+        else:
+            # XLA:CPU contracts a*b-p into fma inside the MAD-output
+            # fusion context, collapsing the ds error-free
+            # transforms — apply the phase to the digit spectra
+            cs = _subset_phases(u, group)
+            prod_f = None
+            for m in range(ns):
+                bsk_s = tuple(c[m] for c in row)
                 term = freq_mad(_cmul(dfft, cs[m]), bsk_s, glwe, radix)
-            prod_f = term if prod_f is None else _cadd(prod_f, term)
+                prod_f = term if prod_f is None else _cadd(prod_f, term)
         prod = fp.inv_ds(prod_f) if use_pallas else _inv_ds_xla(prod_f)
         return acc, prod
 

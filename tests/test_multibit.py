@@ -73,6 +73,45 @@ class TestKeyProducts:
                 assert prods[t, m - 1] == want, (t, m)
 
 
+class TestNestedSubsetSum:
+    @pytest.mark.parametrize("group", [2, 3, 4])
+    def test_matches_explicit_sum(self, group):
+        """The Horner-factored evaluation (TPU branch) must equal the
+        explicit Σ_S (Π u_j) ⊙ M_S it replaces, on random complex data."""
+        rng = np.random.default_rng(3)
+        ns = (1 << group) - 1
+        shape = (2, 8, 4)  # [k+1, K, B]
+
+        def rand_c(shp):
+            c = rng.standard_normal(shp) + 1j * rng.standard_normal(shp)
+            return c.astype(np.complex64).astype(np.complex128)
+
+        def ds_tuple(c):
+            return (
+                jnp.asarray(c.real.astype(np.float32)),
+                jnp.zeros(c.shape, jnp.float32),
+                jnp.asarray(c.imag.astype(np.float32)),
+                jnp.zeros(c.shape, jnp.float32),
+            )
+
+        mads_c = [rand_c(shape) for _ in range(ns)]
+        u_c = [rand_c(shape[1:]) for _ in range(group)]
+        got = mb._nested_subset_sum(
+            [ds_tuple(m) for m in mads_c], [ds_tuple(x) for x in u_c], group
+        )
+        want = np.zeros(shape, dtype=np.complex128)
+        for m in range(1, 1 << group):
+            c = np.ones(shape[1:], dtype=np.complex128)
+            for j in range(group):
+                if m & (1 << j):
+                    c = c * u_c[j]
+            want = want + c[None] * mads_c[m - 1]
+        got_c = (np.asarray(got[0]) + np.asarray(got[1])) + 1j * (
+            np.asarray(got[2]) + np.asarray(got[3])
+        )
+        np.testing.assert_allclose(got_c, want, rtol=1e-5, atol=1e-5)
+
+
 class TestMultibitPBS:
     @pytest.mark.parametrize("group", [2, 3])
     def test_pbs_multibit_decrypt_matches(self, material, group):
