@@ -73,10 +73,14 @@ def make_variants(tree, n):
         out.append(jax.tree_util.tree_unflatten(treedef, [perturbed] + leaves[1:]))
     return out
 DEFAULT_TPU_BACKEND = "u32mb"  # fastest measured production pipeline
-# multi-bit blind-rotation group size: g=2 measured fastest at
-# DEFAULT_128 batch 256 (907 PBS/s vs 878 at g=3 — the 2^g-1 MAD +
-# phase-application growth overtakes the FFT amortization past g=2)
-DEFAULT_MB_GROUP = 2
+# multi-bit blind-rotation group sizes (measured at DEFAULT_128, batch
+# 256, Horner-factored subset phases): bare PBS is fastest at g=3
+# (963 PBS/s vs 940 at g=2). CBS-dependent modes default to g=2: the
+# g=3 CBS whole-cycle graph reproducibly crashes the axon
+# remote-compile service (broken pipe after ~25 min, twice), while the
+# g=2 cycle compiles in ~4 min.
+DEFAULT_MB_GROUP_PBS = 3
+DEFAULT_MB_GROUP_CBS = 2
 
 
 def main():
@@ -90,8 +94,9 @@ def main():
                  "u32php", "u32mb"],
     )
     ap.add_argument(
-        "--group", type=int, default=DEFAULT_MB_GROUP,
-        help="multi-bit blind-rotation group size (u32mb backend)",
+        "--group", type=int, default=None,
+        help="multi-bit blind-rotation group size (u32mb backend);"
+        " default 3 for bare PBS, 2 for CBS-dependent modes",
     )
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument(
@@ -135,6 +140,9 @@ def main():
         " (≙ reference criterion harnesses fhe_ops.rs:40-85)",
     )
     args = ap.parse_args()
+    if args.group is None:
+        cbs_mode = bool(args.cbs or args.intop or args.e2e_add or args.program)
+        args.group = DEFAULT_MB_GROUP_CBS if cbs_mode else DEFAULT_MB_GROUP_PBS
 
     if args.suite:
         return run_suite(args)

@@ -224,37 +224,33 @@ def circuit_bootstrap_u32(ct, bsk_freq, auto_keys_freq, ssk_freq,
 
     # 2. per level i: un-rotate the functional-bootstrap offset at
     # coefficient i, multiply by X^{-i}, shr-round by log2 N (· N^{-1}),
-    # then trace. The per-level pre-trace work is cheap elementwise ops
-    # (unrolled); the l traces — each log2(N) sequential GLWE
-    # keyswitches — are BATCHED onto the lane axis and run as ONE trace
-    # over l*B lanes (trace is per-lane independent, so this is
-    # bit-exact vs l separate traces and cuts the sequential keyswitch
-    # count from l*log2(N) to log2(N) at wider, better-utilized lanes).
-    from .bootstrap_u32 import monomial_mul_u32
-
-    coeff = jnp.arange(n, dtype=jnp.int32)
-    bb = ct[0].shape[-1]
-    rotated = lo_noise
-    shifted_all = []
+    # trace — scanned with stacked per-level offsets
+    offs = np.zeros((cbs_radix.count, 2), dtype=np.uint32)
     for i in range(cbs_radix.count):
         pb = cbs_radix.radix_log * (i + 1) + 1
         oh, ol = lb.encode_const(1, pb)
+        offs[i] = (oh, ol)
+    offs = jnp.asarray(offs)
+    coeff = jnp.arange(n, dtype=jnp.int32)
+
+    def body(carry, xs):
+        off, i = xs
         onehot = (coeff == i).astype(U32)[:, None]  # [N, 1]
-        add = (onehot * oh, onehot * ol)
-        b_r = lb.add((rotated[0][-1], rotated[1][-1]), add)
-        rotated = (rotated[0].at[-1].set(b_r[0]), rotated[1].at[-1].set(b_r[1]))
-        t = jnp.full((1,), 2 * n - i, dtype=U32)  # broadcasts over B
+        add = (onehot * off[0], onehot * off[1])
+        b_r = lb.add((carry[0][-1], carry[1][-1]), add)
+        rotated = (carry[0].at[-1].set(b_r[0]), carry[1].at[-1].set(b_r[1]))
+        from .bootstrap_u32 import monomial_mul_u32
+
+        t = (U32(2 * n) - i.astype(U32))[None]  # [1], broadcasts over B
         permuted = monomial_mul_u32(rotated, t)
-        shifted_all.append(lb.shr_round(permuted, glwe.log_degree))
-    stacked = tuple(
-        jnp.concatenate([s[c] for s in shifted_all], axis=-1)
-        for c in range(2)
-    )  # [k+1, N, l*B], level-major lane blocks
-    traced = trace_u32(stacked, auto_keys_freq, glwe, p.tr_radix, use_pallas)
-    glev = tuple(
-        jnp.moveaxis(c.reshape(*c.shape[:-1], cbs_radix.count, bb), -2, 0)
-        for c in traced
-    )  # limb pair [l, k+1, N, B]
+        shifted = lb.shr_round(permuted, glwe.log_degree)
+        row = trace_u32(shifted, auto_keys_freq, glwe, p.tr_radix, use_pallas)
+        return rotated, row
+
+    _, rows = jax.lax.scan(
+        body, lo_noise, (offs, jnp.arange(cbs_radix.count, dtype=jnp.int32))
+    )
+    glev = rows  # limb pair [l, k+1, N, B]
 
     # 3. scheme switch GLEV -> GGSW (frequency domain)
     return scheme_switch_u32(glev, ssk_freq, glwe, cbs_radix, p.ss_radix,

@@ -274,23 +274,24 @@ def phase_factors_all(a: jnp.ndarray, n: int, use_pallas: bool):
     j_half = j_count // 2
     images = backend_bit_images(n, use_pallas)
     tabs = tuple(jnp.asarray(c) for c in _psi_table_np(two_n))
-    t = a.reshape(steps * bb).astype(U32)
+    # keep [steps, B] unflattened: merging the lane axis into a bigger
+    # one would defeat lane sharding (the multi-chip u32 pipeline shards
+    # the LAST axis; a [steps*B] reshape makes XLA gather across chips)
+    t = a.astype(U32)
     mask = U32(two_n - 1)
 
     def look(idx):
         return tuple(jnp.take(c, idx.astype(jnp.int32), axis=0) for c in tabs)
 
     def doubling(j_lo, j_hi, seed):
-        seq = tuple(c[None, :] for c in seed)  # [1, t]
+        seq = tuple(c[None] for c in seed)  # [1, steps, B]
         for j in range(j_lo, j_hi):
             qj = look((U32(0) - t * U32((4 * images[j]) % (2 * two_n))) & mask)
-            shifted = _cmul(seq, tuple(c[None, :] for c in qj))
+            shifted = _cmul(seq, tuple(c[None] for c in qj))
             seq = tuple(
                 jnp.concatenate([x, y], axis=0) for x, y in zip(seq, shifted)
             )
-        return tuple(
-            jnp.moveaxis(c.reshape(-1, steps, bb), 1, 0) for c in seq
-        )
+        return tuple(jnp.moveaxis(c, 0, 1) for c in seq)  # [steps, m, B]
 
     one = (jnp.ones_like(t, jnp.float32), jnp.zeros_like(t, jnp.float32),
            jnp.zeros_like(t, jnp.float32), jnp.zeros_like(t, jnp.float32))

@@ -4,6 +4,8 @@ from .mesh import (  # noqa: F401
     make_mesh,
     replicate,
     shard_batch,
+    shard_lanes,
     sharded_cbs,
     sharded_pbs,
+    sharded_pbs_multibit,
 )

@@ -81,3 +81,40 @@ def sharded_cbs(params: Params, compute_key, mesh: Mesh, be=C128):
 
     batch_spec = NamedSharding(mesh, P("batch", None))
     return jax.jit(step, in_shardings=batch_spec)
+
+
+def shard_lanes(x, mesh: Mesh):
+    """Shard the LAST (lane) axis of every array in pytree `x` — the
+    u32 limb pipeline's batch axis (t-layouts put ciphertext lanes
+    last; `limb32` arrays are (hi, lo) tuples of [..., B])."""
+
+    def put(leaf):
+        spec = P(*([None] * (leaf.ndim - 1)), "batch")
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(put, x)
+
+
+def sharded_pbs_multibit(lwe, glwe, radix, group: int, bsk_mb_freq,
+                         lut_limb, mesh: Mesh):
+    """Jitted multi-bit (grouped) PBS on the u32 limb pipeline with the
+    lane axis sharded over `mesh` and the multi-bit bootstrap key
+    replicated — the PRODUCTION multi-chip configuration (the
+    single-chip headline path of `bench.py`, backend `u32mb`, scaled
+    along lanes with zero hot-path collectives; `phase_rot` keeps the
+    [steps, B] phase factors unflattened so lane sharding survives its
+    reshapes)."""
+    from ..ops import multibit as mb
+
+    def step(ct_limb):
+        return mb.programmable_bootstrap_multibit_u32(
+            ct_limb, lut_limb, bsk_mb_freq, lwe, glwe, radix, group,
+            use_pallas=False,
+        )
+
+    def lane_spec(leaf_ndim):
+        return NamedSharding(mesh, P(*([None] * (leaf_ndim - 1)), "batch"))
+
+    in_s = (lane_spec(2), lane_spec(2))  # (hi, lo) [n0+1, B]
+    out_s = (lane_spec(2), lane_spec(2))  # (hi, lo) [k*N+1, B]
+    return jax.jit(step, in_shardings=(in_s,), out_shardings=out_s)
