@@ -1,15 +1,17 @@
 """Pallas TPU kernels for the ds32 negacyclic FFT (EXPERIMENTAL).
 
-STATUS: the kernel math is verified correct against the c128 oracle via
-the pure-jnp twins (`fwd_ds_ref`/`inv_ds_ref`), but Mosaic compilation
-on jax 0.9.0 under x64 currently fails: the unrolled form exceeds the
-16 MB scoped-vmem limit (no stack-slot reuse across ~86 intermediates)
-and every dynamic-constant route (fori_loop + dynamic ref indexing,
-lax.switch, convert_element_type) hits an infinite astype recursion in
-Mosaic lowering under x64. The fix (next round) is an x64-free TPU
-pipeline (u32-limb torus arithmetic) so kernels can compile without
-x64. The XLA t-layout path (`fft_ds32_t.py`) is the production path
-meanwhile.
+STATUS (round 3): kernel math is verified correct against the c128
+oracle via the pure-jnp twins (`fwd_ds_ref`/`inv_ds_ref`), and the
+x64-free u32-limb pipeline (round 2) removed the original Mosaic-
+under-x64 blockers — but compiling these kernels through the axon
+REMOTE-COMPILE service remains impractical: a `--backend u32p` bench
+run sat >15 min in the BSK frequency conversion's Mosaic compile
+before timing out (and the VMEM phase-doubling kernel has hung the
+service indefinitely before, see `phase_rot.phase_minus_one_pallas`).
+The XLA scrambled-frequency path (`fft_ds32_t.py` DIF/DIT pair) is the
+production FFT; the fused rotate+decompose kernel
+(`rot_decomp_pallas.py`) is the one Pallas kernel that compiles
+reliably and ships on the hot path. Revisit when the toolchain moves.
 
 The XLA t-layout path (`fft_ds32_t.py`) is correct but HBM-bound: every
 FFT stage round-trips ~8 MB to HBM. These kernels keep all 10 stages
