@@ -63,7 +63,10 @@ def make_variants(tree, n):
     import jax
     import jax.numpy as jnp
 
-    salt = int.from_bytes(os.urandom(4), "little")
+    # mask to 31 bits so salt + i fits every integer leaf dtype (an
+    # unmasked 32-bit salt can overflow jnp.asarray for int32/uint32
+    # leaves when salt + i >= 2^31 / 2^32)
+    salt = int.from_bytes(os.urandom(4), "little") & 0x3FFFFFFF
     leaves, treedef = jax.tree_util.tree_flatten(tree)
     out = []
     for i in range(n):
@@ -1133,7 +1136,21 @@ def run_suite(args):
             with open(path) as f:
                 merged = json.load(f)
         merged.update(results)
-        merged["platform"] = platform
+        prior = merged.get("platform")
+        if prior is not None and prior != platform:
+            # retained x32 subprocess metrics were measured on `prior`;
+            # labeling them with this process's platform would be a lie
+            print(
+                f"# WARNING: ops rerun on platform={platform} but kept"
+                f" metrics were measured on {prior}; keeping per-metric"
+                " platform labels",
+                file=sys.stderr,
+            )
+            for v in results.values():
+                if isinstance(v, dict):
+                    v["platform"] = platform
+        else:
+            merged["platform"] = platform
         with open(path, "w") as f:
             json.dump(merged, f, indent=1)
         print(json.dumps({

@@ -188,7 +188,22 @@ def circuit_bootstrap_u32(ct, bsk_freq, auto_keys_freq, ssk_freq,
                           params: Params, use_pallas=None, phase_rot=False):
     """Full WHS+24 circuit bootstrap: L0 LWE limb pair [n0+1, B] ->
     L1 GGSW freq tuple [k+1, l_cbs, k+1, K, B]
-    (≙ `cbs.circuit_bootstrap`, `circuit_bootstrapping.rs:342-385`)."""
+    (≙ `cbs.circuit_bootstrap`, `circuit_bootstrapping.rs:342-385`).
+
+    Key-shape precedence: a 6-dim `bsk_freq` is a multi-bit bootstrap
+    key and selects the grouped blind rotation, in which case
+    `phase_rot` is IGNORED (the multi-bit path always rotates in the
+    frequency domain). `phase_rot` only applies to a 5-dim single-bit
+    key."""
+    if bsk_freq[0].ndim == 6 and phase_rot:
+        import warnings
+
+        warnings.warn(
+            "circuit_bootstrap_u32: phase_rot ignored — multi-bit bsk"
+            " detected (6-dim key), which always uses the frequency-"
+            "domain rotation path",
+            stacklevel=2,
+        )
     p = params
     glwe = p.l1_params
     cbs_radix = p.cbs_radix

@@ -208,3 +208,186 @@ def generate_bootstrap_key_u32(
     return jax.vmap(
         lambda kk, s: encrypt_ggsw_scalar_u32(kk, s, glwe_sk_u32, glwe, radix)
     )(keys, lwe_sk_u32)
+
+
+# --------------------------------------------------------------------------
+# full on-device keygen (multi-bit BSK, automorphism, scheme-switch, LWE
+# keyswitch keys) — everything the production CBS pipeline needs, with
+# no u64 dtypes, so keygen runs in-process on TPU (x32). The CPU
+# subprocess keygen is a fallback, not a requirement.
+# ≙ reference in-process keygen `programmable_bootstrapping.rs:34-58`,
+# `lwe_keyswitch_key.rs:16-50`, `ops/automorphisms/mod.rs:18-44`,
+# `scheme_switch.rs:22-64`.
+# --------------------------------------------------------------------------
+
+
+def sum_limbs(a, axis=-1):
+    """Exact Σ mod 2^64 of a limb-pair array along `axis`: each u32 limb
+    is summed as two 16-bit planes with i32 accumulation (exact for up
+    to 2^15 terms), then recombined with carries."""
+    hi, lo = a
+    assert hi.shape[axis] <= (1 << 15)
+
+    def planes(x):
+        lo16 = (x & U32(0xFFFF)).astype(I32).sum(axis=axis)
+        hi16 = (x >> U32(16)).astype(I32).sum(axis=axis)
+        return lo16, hi16
+
+    lo_l, lo_h = planes(lo)
+    hi_l, hi_h = planes(hi)
+    # value = lo_l + lo_h*2^16 + hi_l*2^32 + hi_h*2^48 (all < 2^31)
+    out = (jnp.zeros_like(lo_l, dtype=U32), lo_l.astype(U32))
+    out = lb.add(out, ((lo_h.astype(U32) >> U32(16)), lo_h.astype(U32) << U32(16)))
+    out = lb.add(out, (hi_l.astype(U32), jnp.zeros_like(hi_l, dtype=U32)))
+    out = lb.add(out, (hi_h.astype(U32) << U32(16), jnp.zeros_like(hi_h, dtype=U32)))
+    return out
+
+
+def encrypt_lwe_u32(key, msg_limb, sk_u32: jnp.ndarray, lwe: LweDef):
+    """msg limb pair () -> LWE limb pair [n+1] (≙ `encryption.encrypt_lwe`;
+    masks bit-identical under one key)."""
+    k_a, k_e = jax.random.split(key)
+    a = uniform_limb(k_a, (lwe.dim,))
+    e = normal_limb(k_e, lwe.std, ())
+    sel = sk_u32 > 0
+    masked = (jnp.where(sel, a[0], U32(0)), jnp.where(sel, a[1], U32(0)))
+    b = lb.add(lb.add(sum_limbs(masked, axis=0), msg_limb), e)
+    return (
+        jnp.concatenate([a[0], b[0][None]], axis=0),
+        jnp.concatenate([a[1], b[1][None]], axis=0),
+    )
+
+
+def multibit_key_products_u32(lwe_sk_u32: jnp.ndarray, group: int):
+    """Subset products of binary key bits per group: u32 [ng, 2^g - 1]
+    (≙ `multibit.multibit_key_products_np`, on-device)."""
+    n = lwe_sk_u32.shape[0]
+    ng = -(-n // group)
+    pad = ng * group - n
+    sk = jnp.concatenate([lwe_sk_u32, jnp.zeros((pad,), U32)]) if pad else lwe_sk_u32
+    bits = sk.reshape(ng, group)
+    cols = []
+    for m in range(1, 1 << group):
+        prod = jnp.ones((ng,), U32)
+        for j in range(group):
+            if m & (1 << j):
+                prod = prod & bits[:, j]
+        cols.append(prod)
+    return jnp.stack(cols, axis=1)
+
+
+def generate_multibit_bsk_u32(
+    key, lwe_sk_u32, glwe_sk_u32, glwe: GlweDef, radix: RadixDecomposition,
+    group: int,
+):
+    """Multi-bit bootstrap key on-device: limb pair
+    [ng, 2^g - 1, k+1, l, k+1, N] (≙ `multibit.generate_multibit_bsk`,
+    same key-split structure)."""
+    prods = multibit_key_products_u32(lwe_sk_u32, group)
+    ng, ns = prods.shape
+    keys = jax.random.split(key, ng * ns)
+    rows = jax.vmap(
+        lambda kk, b: encrypt_ggsw_scalar_u32(kk, b, glwe_sk_u32, glwe, radix)
+    )(keys, prods.reshape(-1))
+    return tuple(c.reshape(ng, ns, *c.shape[1:]) for c in rows)
+
+
+@functools.lru_cache(maxsize=32)
+def _pow_k_tables(n: int, k_exp: int):
+    """dest[j] = (j * k) % n, neg[j] = parity of (j * k) // n for the
+    X -> X^k substitution of a degree-n negacyclic poly."""
+    j = np.arange(n)
+    dest = ((j * k_exp) % n).astype(np.int32)
+    neg = (((j * k_exp) // n) % 2).astype(np.int32)
+    return dest, neg
+
+
+def _pow_k_limb_binary(s_u32: jnp.ndarray, k_exp: int):
+    """s(X^k) for BINARY s [N] as a torus limb pair [N] with
+    coefficients in {0, 1, -1 mod 2^64} (≙ `poly.pow_k`)."""
+    n = s_u32.shape[-1]
+    dest, neg = _pow_k_tables(n, k_exp)
+    out_val = jnp.zeros((n,), I32).at[jnp.asarray(dest)].set(
+        s_u32.astype(I32) * (1 - 2 * jnp.asarray(neg))
+    )
+    lo = out_val.astype(U32)
+    hi = jnp.where(out_val < 0, U32(0xFFFFFFFF), U32(0))
+    return (hi, lo)
+
+
+def generate_automorphism_keys_u32(
+    key, glwe_sk_u32, glwe: GlweDef, radix: RadixDecomposition
+):
+    """log2(N) GLWE keyswitch keys as a coefficient-domain limb pair
+    [log2 N, k, l, k+1, N] (≙ `keyswitch.generate_automorphism_keys`
+    with be=None; same key-split structure)."""
+    n = glwe.degree
+    log_n = glwe.log_degree
+    keys = jax.random.split(key, log_n)
+    out_hi, out_lo = [], []
+    for i in range(1, log_n + 1):
+        k_exp = n // (1 << (i - 1)) + 1
+        row_keys = jax.random.split(keys[i - 1], glwe.size)
+        rows_hi, rows_lo = [], []
+        for r in range(glwe.size):
+            sk_k = _pow_k_limb_binary(glwe_sk_u32[r], k_exp)
+            gh, gl = encrypt_glev_u32(row_keys[r], sk_k, glwe_sk_u32, glwe, radix)
+            rows_hi.append(gh)
+            rows_lo.append(gl)
+        out_hi.append(jnp.stack(rows_hi, axis=0))
+        out_lo.append(jnp.stack(rows_lo, axis=0))
+    return (jnp.stack(out_hi, axis=0), jnp.stack(out_lo, axis=0))
+
+
+def generate_scheme_switch_key_u32(
+    key, glwe_sk_u32, glwe: GlweDef, radix: RadixDecomposition
+):
+    """GLEV(s_i ⊛ s_j) table as a coefficient-domain limb pair
+    [k, k, l, k+1, N] (≙ `scheme_switch.generate_scheme_switch_key`
+    with be=None; same fold_in structure)."""
+    k = glwe.size
+    rows_hi, rows_lo = [], []
+    for i in range(k):
+        cols_hi, cols_lo = [], []
+        for j in range(k):
+            ii, jj = min(i, j), max(i, j)
+            s_ij = negacyclic_mul_binary(
+                (jnp.zeros_like(glwe_sk_u32[ii]), glwe_sk_u32[ii]),
+                glwe_sk_u32[jj],
+            )
+            subkey = jax.random.fold_in(key, ii * k + jj)
+            gh, gl = encrypt_glev_u32(subkey, s_ij, glwe_sk_u32, glwe, radix)
+            cols_hi.append(gh)
+            cols_lo.append(gl)
+        rows_hi.append(jnp.stack(cols_hi, axis=0))
+        rows_lo.append(jnp.stack(cols_lo, axis=0))
+    return (jnp.stack(rows_hi, axis=0), jnp.stack(rows_lo, axis=0))
+
+
+def generate_lwe_keyswitch_key_u32(
+    key, original_sk_u32, new_sk_u32, old_lwe: LweDef, new_lwe: LweDef,
+    radix: RadixDecomposition,
+):
+    """LWE keyswitch key: limb pair [n_old, count, n_new+1], row i col j
+    = LWE_new(s_old_i * q/B^(j+1)) (≙ `keyswitch.generate_lwe_keyswitch_key`,
+    same split structure)."""
+    from .decomp import decomposition_factor
+
+    factors = [
+        decomposition_factor(j, radix) % (1 << 64) for j in range(radix.count)
+    ]
+
+    def encrypt_row(k_i, s_i):
+        ks = jax.random.split(k_i, radix.count)
+        cols_hi, cols_lo = [], []
+        for j in range(radix.count):
+            f_hi = U32((factors[j] >> 32) & 0xFFFFFFFF)
+            f_lo = U32(factors[j] & 0xFFFFFFFF)
+            msg = (s_i * f_hi, s_i * f_lo)  # s_i binary: select factor
+            ch, cl = encrypt_lwe_u32(ks[j], msg, new_sk_u32, new_lwe)
+            cols_hi.append(ch)
+            cols_lo.append(cl)
+        return (jnp.stack(cols_hi, axis=0), jnp.stack(cols_lo, axis=0))
+
+    keys = jax.random.split(key, old_lwe.dim)
+    return jax.vmap(encrypt_row)(keys, original_sk_u32)

@@ -54,6 +54,23 @@ def _cmul(a, b):
     return (rh, rl, ih, il)
 
 
+def _cmul_wsplit(a, b6):
+    """Complex ds multiply where b ships with Veltkamp-presplit hi
+    components: b6 = (brh, brl, bih, bil, brhh, brhl, bihh, bihl) with
+    brh == brhh + brhl exactly (12-bit mantissas), likewise bih. Saves
+    the runtime split of the b operand in all four real multiplies
+    (`ds.mul_wsplit`) — for CONSTANT operands (evaluation keys) whose
+    halves are precomputed host-side (`ds.presplit_f32`)."""
+    brh, brl, bih, bil, brhh, brhl, bihh, bihl = b6
+    pr = ds.mul_wsplit(a[0], a[1], brh, brl, brhh, brhl)
+    qr = ds.mul_wsplit(a[2], a[3], bih, bil, bihh, bihl)
+    rh, rl = ds.sub(pr[0], pr[1], qr[0], qr[1])
+    pi = ds.mul_wsplit(a[0], a[1], bih, bil, bihh, bihl)
+    qi = ds.mul_wsplit(a[2], a[3], brh, brl, brhh, brhl)
+    ih, il = ds.add(pi[0], pi[1], qi[0], qi[1])
+    return (rh, rl, ih, il)
+
+
 @functools.lru_cache(maxsize=16)
 def _tables(k: int, inverse: bool):
     """Per-stage twiddles and the output digit-reversal permutation.

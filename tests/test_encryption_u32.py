@@ -124,3 +124,117 @@ class TestPBSWithU32Key:
             bits,
         )
         np.testing.assert_array_equal(np.asarray(dec), fn(np.arange(8)))
+
+
+class TestOnDeviceKeygenFull:
+    """The round-4 on-device generators (multi-bit BSK, automorphism,
+    scheme-switch, LWE-keyswitch keys) must work end-to-end: a full
+    conversion cycle (CBS -> CMux -> extract -> keyswitch) with ALL keys
+    generated by `encryption_u32` decrypts correctly
+    (≙ reference in-process keygen, `high_level.rs` keygen +
+    `circuit_bootstrapping.rs:342-385`)."""
+
+    def test_multibit_products_match_np(self):
+        from spf_tpu.ops import multibit as mb
+
+        sk = np.asarray([1, 0, 1, 1, 0, 1, 1], dtype=np.uint64)
+        for g in (2, 3):
+            want = mb.multibit_key_products_np(sk, g)
+            got = np.asarray(
+                eu.multibit_key_products_u32(
+                    jnp.asarray(sk.astype(np.uint32)), g
+                )
+            )
+            np.testing.assert_array_equal(got.astype(np.uint64), want)
+
+    def test_ksk_masks_match_u64_generator(self):
+        from spf_tpu.ops import keyswitch as ks_mod
+        from spf_tpu.params import RadixDecomposition as RD
+
+        ks_radix = RD(count=3, radix_log=6)
+        old = LweDef(dim=16, std=1e-16)
+        new = LweDef(dim=12, std=1e-16)
+        old_sk = enc.generate_lwe_sk(k(20), old)
+        new_sk = enc.generate_lwe_sk(k(21), new)
+        want = np.asarray(
+            ks_mod.generate_lwe_keyswitch_key(k(22), old_sk, new_sk, old, new, ks_radix)
+        )
+        got = lb.to_u64_np(
+            eu.generate_lwe_keyswitch_key_u32(
+                k(22),
+                jnp.asarray(np.asarray(old_sk).astype(np.uint32)),
+                jnp.asarray(np.asarray(new_sk).astype(np.uint32)),
+                old, new, ks_radix,
+            )
+        )
+        # masks (a-part) are bit-identical (same PRNG split structure +
+        # uniform bits); b differs by two independent noise draws
+        # (f32 vs f64 sampling paths), each N(0, 1e-16 * 2^64 ~ 1845):
+        # |diff| <= 8 sigma of the difference distribution
+        np.testing.assert_array_equal(got[..., :-1], want[..., :-1])
+        db = (got[..., -1] - want[..., -1]).astype(np.int64)
+        assert np.abs(db).max() <= 8 * 2609
+
+    def test_full_cycle_with_u32_keys(self):
+        from spf_tpu.ops import cbs_u32 as cu
+        from spf_tpu.ops.keyswitch_u32 import keyswitch_lwe_u32, ksk_to_byte_planes
+        from spf_tpu.params import Params, RadixDecomposition as RD
+
+        P = Params(
+            l0_params=LweDef(dim=32, std=1e-16),
+            l1_params=GlweDef(size=1, degree=64, std=1e-16),
+            cbs_radix=RD(count=2, radix_log=9),
+            pbs_radix=RD(count=2, radix_log=16),
+            ks_radix=RD(count=9, radix_log=4),
+            pfks_radix=RD(count=4, radix_log=11),
+            ss_radix=RD(count=6, radix_log=8),
+            tr_radix=RD(count=6, radix_log=7),
+        )
+        glwe, lwe = P.l1_params, P.l0_params
+        g = 2
+        lwe_sk32 = eu.binary_u32(k(30), (lwe.dim,))
+        glwe_sk32 = eu.binary_u32(k(31), (glwe.size, glwe.degree))
+        bskmb = eu.generate_multibit_bsk_u32(
+            k(32), lwe_sk32, glwe_sk32, glwe, P.pbs_radix, g
+        )
+        ak = eu.generate_automorphism_keys_u32(k(33), glwe_sk32, glwe, P.tr_radix)
+        ssk = eu.generate_scheme_switch_key_u32(k(34), glwe_sk32, glwe, P.ss_radix)
+        ksk = eu.generate_lwe_keyswitch_key_u32(
+            k(35), glwe_sk32.reshape(-1), lwe_sk32, glwe.as_lwe_def(), lwe,
+            P.ks_radix,
+        )
+        bsk_freq = bu.bsk_to_freq_u32(lb.to_u64_np(bskmb), use_pallas=False)
+        ak_freq = bu.bsk_to_freq_u32(lb.to_u64_np(ak), use_pallas=False)
+        ssk_freq = bu.bsk_to_freq_u32(lb.to_u64_np(ssk), use_pallas=False)
+        ksk_planes = ksk_to_byte_planes(lb.to_u64_np(ksk))
+
+        bits_in = np.array([0, 1, 1, 0, 1, 0, 0, 1], dtype=np.uint64)
+        B = bits_in.size
+        lwe_sk_np = np.asarray(lwe_sk32).astype(np.uint64)
+        rng = np.random.default_rng(7)
+        a = rng.integers(0, 1 << 64, size=(B, lwe.dim), dtype=np.uint64)
+        b = (a * lwe_sk_np[None, :]).sum(axis=1, dtype=np.uint64) + (
+            bits_in << np.uint64(63)
+        )
+        cts = lb.from_u64_np(np.concatenate([a, b[:, None]], axis=1).T)
+
+        n1 = glwe.degree
+        m1_np = np.zeros((glwe.size + 1, n1, B), dtype=np.uint64)
+        m1_np[-1, :, :] = np.uint64(1) << np.uint64(63)
+        m1 = lb.from_u64_np(m1_np)
+
+        ggsw = cu.circuit_bootstrap_u32(
+            cts, bsk_freq, ak_freq, ssk_freq, P, use_pallas=False
+        )
+        m0 = lb.zeros((glwe.size + 1, n1, B))
+        sel = bu.cmux_u32(m0, m1, ggsw, glwe, P.cbs_radix, False)
+        l1 = bu.sample_extract_u32(sel, 0, glwe)
+        l0 = keyswitch_lwe_u32(l1, ksk_planes, glwe.as_lwe_def(), lwe, P.ks_radix)
+
+        l0_np = lb.to_u64_np(jax.device_get(l0)).T
+        ph = l0_np[:, -1] - (l0_np[:, :-1] * lwe_sk_np[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+        rb = (ph >> np.uint64(62)) & np.uint64(1)
+        dec = ((ph >> np.uint64(63)) + rb) & np.uint64(1)
+        np.testing.assert_array_equal(dec, bits_in)
