@@ -27,7 +27,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 NORTH_STAR_PBS_PER_SEC = 10_000.0
-KEY_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".keys_cache")
+KEY_CACHE = os.environ.get(
+    "SPF_KEY_CACHE",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".keys_cache"),
+)
 
 
 def robust_best(times):
@@ -327,16 +330,20 @@ def main():
         print(f"# suite vectors done in {time.time()-t0:.1f}s", file=sys.stderr)
         return
     if not (os.path.exists(sk_path) and os.path.exists(bsk_path)):
-        # keygen uses exact u64 polynomial products, which only lower on
-        # the CPU backend — run it in a CPU subprocess
-        import subprocess
+        if x32:
+            # on-device keygen (u32 limbs): no subprocess, runs on TPU
+            print("# generating keys on-device (u32)...", file=sys.stderr)
+            _keygen_on_device(p, jax, np)
+        else:
+            # u64 keygen only lowers on the CPU backend — subprocess
+            import subprocess
 
-        print("# generating keys in a CPU subprocess...", file=sys.stderr)
-        env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="")
-        subprocess.run(
-            [sys.executable, __file__, "--keygen-only"], env=env, check=True,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        )
+            print("# generating keys in a CPU subprocess...", file=sys.stderr)
+            env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="")
+            subprocess.run(
+                [sys.executable, __file__, "--keygen-only"], env=env, check=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
     data = np.load(sk_path)
     lwe_sk_np = data["lwe_sk"]
     glwe_sk_np = data["glwe_sk"]
@@ -373,17 +380,10 @@ def main():
             g = args.group
             mb_path = os.path.join(KEY_CACHE, f"default128_bskmb{g}_coeff.npy")
             if not os.path.exists(mb_path):
-                import subprocess
-
-                print(f"# generating multibit bsk (g={g}) in a CPU"
-                      " subprocess...", file=sys.stderr)
-                env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="")
-                env.pop("SPF_TPU_X32", None)
-                subprocess.run(
-                    [sys.executable, __file__, "--keygen-mb", "--group", str(g)],
-                    env=env, check=True,
-                    cwd=os.path.dirname(os.path.abspath(__file__)),
-                )
+                # on-device multi-bit keygen (u32): no subprocess
+                print(f"# generating multibit bsk (g={g}) on-device...",
+                      file=sys.stderr)
+                _keygen_on_device(p, jax, np, group=g)
             bsk_freq = _freq_cached(
                 f"bskmb{g}", np.load(mb_path), use_pallas, bu, jax, np, jnp
             )
@@ -407,6 +407,7 @@ def main():
                 keyswitch_lwe_u32, ksk_to_byte_planes,
             )
 
+            _ensure_conversion_keys(p, x32, jax, np)
             ak_np = np.load(os.path.join(KEY_CACHE, "default128_ak_coeff.npy"))
             ssk_np = np.load(os.path.join(KEY_CACHE, "default128_ssk_coeff.npy"))
             ksk_np = np.load(os.path.join(KEY_CACHE, "default128_ksk.npy"))
@@ -507,6 +508,7 @@ def main():
 
             op = args.intop or "add"
             width = args.width or 8
+            _ensure_conversion_keys(p, x32, jax, np)
             ak_np = np.load(os.path.join(KEY_CACHE, "default128_ak_coeff.npy"))
             ssk_np = np.load(os.path.join(KEY_CACHE, "default128_ssk_coeff.npy"))
             ak_freq = _freq_cached("ak", ak_np, use_pallas, bu, jax, np, jnp)
@@ -770,6 +772,171 @@ def main():
     print(json.dumps(result))
 
 
+def _keygen_on_device(p, jax, np, group=None):
+    """Generate DEFAULT_128 keys IN-PROCESS on the current device via the
+    u32-limb generators (`ops/encryption_u32.py`) — works on TPU in x32
+    mode, so a cold bench run performs no CPU-subprocess keygen
+    (≙ reference in-process keygen,
+    `programmable_bootstrapping.rs:34-58`). Writes the same cache files
+    as `--keygen-only` / `--keygen-mb`; the PRNG split structure matches
+    the u64 generators, so secret keys and ciphertext masks are
+    bit-identical to a CPU-generated cache (only the Gaussian noise
+    draws differ, f32 vs f64 sampling).
+
+    With `group` set, generates ONLY the multi-bit BSK for that group
+    size (requires the base secret keys, generated first if missing).
+    """
+    import time as _t
+
+    import jax.numpy as jnp
+
+    from spf_tpu.ops import encryption_u32 as eu, limb32 as lbb
+
+    lwe, glwe = p.l0_params, p.l1_params
+    key, _ = jax.random.split(jax.random.key(2024))
+    sk_path = os.path.join(KEY_CACHE, "default128_sk.npz")
+    os.makedirs(KEY_CACHE, exist_ok=True)
+
+    def save64(path, limb):
+        np.save(path, lbb.to_u64_np(jax.device_get(limb)))
+
+    k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
+    if os.path.exists(sk_path):
+        d = np.load(sk_path)
+        lwe_sk = jnp.asarray(d["lwe_sk"].astype(np.uint32))
+        glwe_sk = jnp.asarray(d["glwe_sk"].astype(np.uint32))
+    else:
+        lwe_sk = eu.binary_u32(k1, (lwe.dim,))
+        glwe_sk = eu.binary_u32(k2, (glwe.size, glwe.degree))
+        np.savez(
+            sk_path,
+            lwe_sk=np.asarray(jax.device_get(lwe_sk)).astype(np.uint64),
+            glwe_sk=np.asarray(jax.device_get(glwe_sk)).astype(np.uint64),
+        )
+
+    if group is not None:
+        t0 = _t.time()
+        kmb = jax.random.fold_in(key, 4242 + group)
+        rows = jax.jit(
+            lambda k_, ls, gs: eu.generate_multibit_bsk_u32(
+                k_, ls, gs, glwe, p.pbs_radix, group
+            )
+        )(kmb, lwe_sk, glwe_sk)
+        save64(
+            os.path.join(KEY_CACHE, f"default128_bskmb{group}_coeff.npy"), rows
+        )
+        print(
+            f"# on-device multibit bsk (g={group}) in {_t.time()-t0:.1f}s",
+            file=sys.stderr,
+        )
+        return
+
+    t0 = _t.time()
+    bsk = jax.jit(
+        lambda k_, ls, gs: eu.generate_bootstrap_key_u32(
+            k_, ls, gs, lwe, glwe, p.pbs_radix
+        )
+    )(k3, lwe_sk, glwe_sk)
+    save64(os.path.join(KEY_CACHE, "default128_bsk_coeff.npy"), bsk)
+    print(f"# on-device bsk in {_t.time()-t0:.1f}s", file=sys.stderr)
+
+    t0 = _t.time()
+    ak = jax.jit(
+        lambda k_, gs: eu.generate_automorphism_keys_u32(k_, gs, glwe, p.tr_radix)
+    )(k4, glwe_sk)
+    save64(os.path.join(KEY_CACHE, "default128_ak_coeff.npy"), ak)
+    ssk = jax.jit(
+        lambda k_, gs: eu.generate_scheme_switch_key_u32(k_, gs, glwe, p.ss_radix)
+    )(k5, glwe_sk)
+    save64(os.path.join(KEY_CACHE, "default128_ssk_coeff.npy"), ssk)
+    ksk = jax.jit(
+        lambda k_, gs, ls: eu.generate_lwe_keyswitch_key_u32(
+            k_, gs.reshape(-1), ls, glwe.as_lwe_def(), lwe, p.ks_radix
+        )
+    )(k6, glwe_sk, lwe_sk)
+    save64(os.path.join(KEY_CACHE, "default128_ksk.npy"), ksk)
+    print(f"# on-device ak/ssk/ksk in {_t.time()-t0:.1f}s", file=sys.stderr)
+
+
+def _suitevec_on_device(p, jax, np):
+    """On-device (u32) twin of `--suitevec-only`: encrypted test vectors
+    for the suite/program benches, same PRNG derivation as the CPU path
+    (masks bit-identical; noise draw f32 vs f64)."""
+    import jax.numpy as jnp
+
+    from spf_tpu.ops import encryption_u32 as eu, limb32 as lbb
+
+    glwe = p.l1_params
+    key, _ = jax.random.split(jax.random.key(2024))
+    sk_path = os.path.join(KEY_CACHE, "default128_sk.npz")
+    if not os.path.exists(sk_path):
+        _keygen_on_device(p, jax, np)
+    d = np.load(sk_path)
+    glwe_sk = jnp.asarray(d["glwe_sk"].astype(np.uint32))
+    kv = jax.random.fold_in(key, 7)
+    n1 = glwe.degree
+    bits_pat = [i % 2 for i in range(8)]
+    ggsws, glevs = [], []
+    for i, b in enumerate(bits_pat):
+        kg, kl = jax.random.split(jax.random.fold_in(kv, i))
+        ggsws.append(
+            lbb.to_u64_np(jax.device_get(jax.jit(
+                lambda k_, gs: eu.encrypt_ggsw_scalar_u32(
+                    k_, jnp.uint32(b), gs, glwe, p.cbs_radix
+                )
+            )(kg, glwe_sk)))
+        )
+        m0 = jnp.zeros((n1,), dtype=jnp.uint32).at[0].set(jnp.uint32(b))
+        glevs.append(
+            lbb.to_u64_np(jax.device_get(jax.jit(
+                lambda k_, gs, m: eu.encrypt_glev_u32(
+                    k_, (jnp.zeros_like(m), m), gs, glwe, p.cbs_radix
+                )
+            )(kl, glwe_sk, m0)))
+        )
+    n_lwe1 = 1024
+    l1_def = glwe.as_lwe_def()
+    lwe1_bits = np.array([i % 2 for i in range(n_lwe1)], dtype=np.uint64)
+    keys1 = jax.random.split(jax.random.fold_in(kv, 999), n_lwe1)
+    msgs_hi = jnp.asarray((lwe1_bits << np.uint64(63)) >> np.uint64(32),
+                          jnp.uint32)
+    ks_in = jax.jit(jax.vmap(
+        lambda k_, mh: eu.encrypt_lwe_u32(
+            k_, (mh, jnp.uint32(0)), glwe_sk.reshape(-1), l1_def
+        )
+    ))(keys1, msgs_hi)
+    np.savez(
+        os.path.join(KEY_CACHE, "default128_suitevecs.npz"),
+        ggsws=np.stack(ggsws),
+        glevs=np.stack(glevs),
+        ggsw_bits=np.array(bits_pat, dtype=np.uint64),
+        glev_bits=np.array(bits_pat, dtype=np.uint64),
+        ks_in=lbb.to_u64_np(jax.device_get(ks_in)),
+        ks_bits=lwe1_bits,
+    )
+
+
+def _ensure_conversion_keys(p, x32, jax, np):
+    """ak/ssk/ksk present in the cache, generating on-device (x32) or in
+    a CPU subprocess otherwise."""
+    need = ["default128_ak_coeff.npy", "default128_ssk_coeff.npy",
+            "default128_ksk.npy"]
+    if all(os.path.exists(os.path.join(KEY_CACHE, f)) for f in need):
+        return
+    if x32:
+        print("# generating conversion keys on-device (u32)...",
+              file=sys.stderr)
+        _keygen_on_device(p, jax, np)
+    else:
+        import subprocess
+
+        env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="")
+        subprocess.run(
+            [sys.executable, __file__, "--keygen-only"], env=env, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+
+
 def _freq_cached(name, coeff_np, use_pallas, bu, jax, np, jnp):
     """Disk-cache the frequency-domain form of an evaluation key: the
     fwd transform of the full BSK compiles/runs in minutes through the
@@ -806,6 +973,10 @@ def run_program_bench(args, p, bsk_freq, lwe_sk_np, glwe_sk_np, use_pallas,
     glwe = p.l1_params
     name = args.program
     test_data = "/root/reference/parasol_cpu/tests/test_data"
+    _ensure_conversion_keys(p, True, jax, np)
+    if not os.path.exists(os.path.join(KEY_CACHE, "default128_suitevecs.npz")):
+        print("# generating suite vectors on-device (u32)...", file=sys.stderr)
+        _suitevec_on_device(p, jax, np)
     ak_np = np.load(os.path.join(KEY_CACHE, "default128_ak_coeff.npy"))
     ssk_np = np.load(os.path.join(KEY_CACHE, "default128_ssk_coeff.npy"))
     ksk_np = np.load(os.path.join(KEY_CACHE, "default128_ksk.npy"))
@@ -993,28 +1164,36 @@ def run_suite(args):
     be = get_backend("ds32")
 
     def time_steps(fn, *arrs, n_iters=None):
-        """Best steady-state seconds per call of jitted fn(*arrs).
+        """Steady-state seconds per call of jitted fn(*arrs).
 
-        Every timed iteration submits a value-DISTINCT input set: the
-        axon relay memoizes re-submission of value-identical args to the
-        same executable and returns the cached result in ~0.5 ms,
-        silently inflating throughput (the round-1 suite's 2.1M cmux/s
-        was exactly this artifact). `robust_best` additionally drops any
-        residual memo-fast samples."""
+        Methodology (round 4): every timed iteration submits a
+        value-DISTINCT input set (the axon relay memoizes value-identical
+        resubmissions), the first call is synced with a device_get
+        checksum (`block_until_ready` under-reports on cold
+        executables — returns before execution completes), and the
+        timed calls are submitted back-to-back with one final forced
+        sync, so per-step = total/n amortizes the ~26 ms relay dispatch
+        latency instead of hiding async under-reporting."""
+
+        def sync(o):
+            leaf = jax.tree_util.tree_leaves(o)[0]
+            np.asarray(jax.device_get(leaf.ravel()[:8]))
+
         fn_j = jax.jit(fn)
         n = max(n_iters or iters, 2)
         variants = make_variants(arrs, n + 1)
         t0 = time.time()
         out = fn_j(*variants[n])  # compile on a throwaway variant
         jax.block_until_ready(out)
+        sync(out)
         first = time.time() - t0
-        times = []
-        for i in range(n):
-            t0 = time.time()
-            out = fn_j(*variants[i])
-            jax.block_until_ready(out)
-            times.append(time.time() - t0)
-        return robust_best(times), first, fn_j(*arrs)
+        t0 = time.time()
+        outs = [fn_j(*variants[i]) for i in range(n)]
+        jax.block_until_ready(outs)
+        for o in outs:
+            sync(o)
+        total = time.time() - t0
+        return total / n, first, fn_j(*arrs)
 
     def np_decrypt_glwe0(ct, expect_bits):
         """Decode bit at coefficient 0 of batched GLWEs [B, k+1, N]."""
@@ -1126,6 +1305,57 @@ def run_suite(args):
         "first_call_s": round(first, 1),
     }
     print(f"# scheme_switch: {results['scheme_switch_per_sec']}", file=sys.stderr)
+
+    # --- bivariate PBS (t-layout ds32 pipeline, packed left*2^b + right;
+    # ≙ `programmable_bootstrapping.rs:575-621`) ---
+    from spf_tpu.ops import bootstrap as bs_mod, bootstrap_tpu as bt
+
+    ensure("default128_bsk_coeff.npy", "--keygen-only")
+    bsk_coeff = jnp.asarray(
+        np.load(os.path.join(KEY_CACHE, "default128_bsk_coeff.npy"))
+    )
+    bsk_t = jax.jit(bt.bsk_to_t)(bsk_coeff)
+    jax.block_until_ready(bsk_t)
+    bits2 = 2
+    lut2 = bs_mod.generate_bivariate_lut(
+        lambda l, r: (l + r) % 4, glwe, bits2
+    )
+    Bb = args.batch or 128
+    lhs_m = jnp.asarray(np.arange(Bb) % 4, jnp.uint64)
+    rhs_m = jnp.asarray((np.arange(Bb) // 4) % 4, jnp.uint64)
+    kbv = jax.random.fold_in(jax.random.key(2024), 555)
+    enc_batch = jax.vmap(
+        lambda k_, m: enc.encrypt_lwe(
+            k_, torus.encode(m, 2 * bits2 + 1), jnp.asarray(lwe_sk_np), lwe
+        )
+    )
+    ct_l = enc_batch(jax.random.split(jax.random.fold_in(kbv, 0), Bb), lhs_m)
+    ct_r = enc_batch(jax.random.split(jax.random.fold_in(kbv, 1), Bb), rhs_m)
+
+    def biv(cl, cr):
+        packed = cl * jnp.uint64(1 << bits2) + cr
+        return bt.from_t_layout(
+            bt.programmable_bootstrap_t(
+                bt.to_t_layout(packed), lut2, bsk_t, lwe, glwe, p.pbs_radix
+            )
+        )
+
+    best, first, out = time_steps(biv, ct_l, ct_r)
+    dec = torus.decode(
+        enc.decrypt_lwe(
+            np.asarray(out), enc.glwe_sk_to_lwe_sk(jnp.asarray(glwe_sk_np)),
+            glwe.as_lwe_def(),
+        ),
+        2 * bits2,
+    )
+    expect = (np.asarray(lhs_m) + np.asarray(rhs_m)) % 4
+    n_ok = int((np.asarray(dec) == expect).sum())
+    results["bivariate_pbs_per_sec"] = {
+        "value": round(Bb / best, 1), "batch": Bb,
+        "best_step_s": round(best, 5), "first_call_s": round(first, 1),
+        "correct": f"{n_ok}/{Bb}",
+    }
+    print(f"# bivariate_pbs: {results['bivariate_pbs_per_sec']}", file=sys.stderr)
 
     if getattr(args, "suite_ops_only", False):
         # merge the freshly measured in-process ops into the existing

@@ -107,6 +107,56 @@ def main():
     t1 = results["cpu_mesh_timing"]["1"]["best_step_s"]
     t4 = results["cpu_mesh_timing"]["4"]["best_step_s"]
     results["scaling_efficiency_1_to_4_cpu"] = round(t1 / t4 / 4, 3)
+
+    # ---- PRODUCTION u32mb path: lane-sharded multi-bit PBS ----
+    # (the bench headline backend; VERDICT round-3 weak #7 asked for a
+    # scaling measurement of THIS pipeline, not just the ds32 one)
+    from spf_tpu.ops import bootstrap_u32 as bu, limb32 as lbb, multibit as mbm
+    from spf_tpu.parallel import shard_lanes, sharded_pbs_multibit
+
+    group = 2
+    bskmb = mbm.generate_multibit_bsk(
+        jax.random.fold_in(key, 4), lwe_sk, glwe_sk, glwe,
+        PARAMS.pbs_radix, group,
+    )
+    bskmb_freq = bu.bsk_to_freq_u32(np.asarray(bskmb), use_pallas=False)
+    lut_np = bootstrap.generate_lut_np([lambda x: (x + 1) % 4], glwe, 2)
+    lut_limb = lbb.from_u64_np(lut_np)
+    cts_limb_full = lbb.from_u64_np(np.asarray(cts_full).T)
+    # phases < 2N for the limb pipeline
+    two_n = glwe.log_degree + 1
+    cts_sw_full = lbb.modulus_switch(cts_limb_full, 0, 0, two_n)
+    results["cpu_mesh_timing_u32mb"] = {}
+    for n_dev in (1, 2, 4):
+        mesh = make_mesh(n_dev)
+        bsk_r = tuple(replicate(c, mesh) for c in bskmb_freq)
+        lut_r = tuple(replicate(c, mesh) for c in lut_limb)
+        step = sharded_pbs_multibit(
+            lwe, glwe, PARAMS.pbs_radix, group, bsk_r, lut_r, mesh
+        )
+        cts_sh = shard_lanes(cts_limb_full, mesh)
+        if "collectives_u32mb" not in results:
+            hlo = step.lower(cts_sh).compile().as_text()
+            results["collectives_u32mb"] = sum(hlo.count(c) for c in COLLECTIVES)
+        out = step(cts_sh)
+        jax.block_until_ready(out)
+        times = []
+        for _ in range(5):
+            t0 = time.time()
+            out = step(cts_sh)
+            jax.block_until_ready(out)
+            times.append(time.time() - t0)
+        best = min(times)
+        results["cpu_mesh_timing_u32mb"][str(n_dev)] = {
+            "batch": batch,
+            "best_step_s": round(best, 5),
+            "throughput_per_s": round(batch / best, 1),
+        }
+        print(f"u32mb {n_dev} devices: batch {batch} in {best*1e3:.1f} ms",
+              flush=True)
+    t1m = results["cpu_mesh_timing_u32mb"]["1"]["best_step_s"]
+    t4m = results["cpu_mesh_timing_u32mb"]["4"]["best_step_s"]
+    results["scaling_efficiency_1_to_4_cpu_u32mb"] = round(t1m / t4m / 4, 3)
     results["claim"] = (
         "Batch sharding places zero collectives on the hot path (verified in"
         " compiled HLO), so multi-chip TPU scaling is linear in chips up to"
@@ -114,7 +164,7 @@ def main():
         " evidence only (4 physical cores)."
     )
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                        "MULTICHIP_r02.json")
+                        "MULTICHIP_SCALING.json")
     with open(path, "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps(results))

@@ -112,16 +112,17 @@ print(f"    -> {flops/t/1e12:.1f} Tflops", flush=True)
 # one step's fwd worth of elements: 4 digit planes x 4 primes x [N, B]
 E = (4, 4, N, B)
 v = jnp.asarray(rng.integers(0, 1 << 30, size=E), jnp.int32)
-M = int((1 << 45) // P)  # Barrett-ish constant
+M = int((1 << 29) // P)  # Barrett constant, fits i32 products
 
 
 def barrett(x):
-    # x mod P for 0 <= x < 2^30 via mulhi-free i32 sequence:
-    # q = (x * M) >> 45 needs 64-bit — emulate with two 15-bit halves
+    # x mod P (approximately — exact enough for a TIMING probe) for
+    # 0 <= x < 2^30 via an i32-only sequence: q ~ (x>>15) * (2^29/P)
+    # >> 14, then 3 conditional subtractions for the residual range
     x_hi = x >> 15
-    x_lo = x & 0x7FFF
-    q = (x_hi * M) >> 30  # approximate quotient (M ~ 2^45/P)
+    q = (x_hi * M) >> 14
     r = x - q * P
+    r = jnp.where(r >= 2 * P, r - 2 * P, r)
     r = jnp.where(r >= P, r - P, r)
     r = jnp.where(r >= P, r - P, r)
     return r

@@ -242,7 +242,11 @@ def blind_rotate_u32(
         # generation at 2.7 GB of HBM + transpose). In-loop, each step
         # combines its factors with ONE broadcast complex multiply
         # (~one poly-mul) instead of the serial doubling (~90 us).
+        # The fence pins them materialized: XLA's while-loop remat
+        # otherwise recomputes the doubling per step (`phase_rot.fence`).
         ph_lo, ph_hi = pr.phase_factors_all(a, n, use_pallas)
+        ph_lo = tuple(pr.fence(c) for c in ph_lo)
+        ph_hi = tuple(pr.fence(c) for c in ph_hi)
 
         def body(i, carry):
             acc, prod = carry

@@ -154,11 +154,14 @@ def blind_rotate_multibit_u32(
     radix: RadixDecomposition,
     group: int,
     use_pallas=None,
+    unroll: int = 1,
 ):
     """Multi-bit phase-rotation blind rotation: lut limb pair
     [k+1, N, B] (broadcastable), ct u32 [n0+1, B] with phases < 2N,
     bsk_mb_freq components [n_groups, 2^g - 1, k+1, l, k+1, K]
-    (frequency order of the chosen backend).
+    (frequency order of the chosen backend). `unroll` forwards to the
+    group `fori_loop` (trades compile time for per-iteration loop
+    overhead).
     """
     from . import phase_rot as pr
     from .rot_decomp_pallas import accumulate_decompose
@@ -183,10 +186,13 @@ def blind_rotate_multibit_u32(
     acc = monomial_mul_u32(lut_b, U32(2 * n) - b)
 
     # per-bit (phase - 1) outer-product factors for ALL bits, hoisted:
-    # [ng, g, ~sqrt(K), B] (see `phase_rot.phase_factors_all`)
+    # [ng, g, ~sqrt(K), B] (see `phase_rot.phase_factors_all`), pinned
+    # behind an optimization fence — XLA's while-loop rematerialization
+    # otherwise recomputes the doubling chain inside every loop
+    # iteration (+250 us/group measured; `phase_rot.fence`)
     ph_lo, ph_hi = pr.phase_factors_all(a, n, use_pallas)
-    ph_lo = tuple(c.reshape(ng, group, *c.shape[1:]) for c in ph_lo)
-    ph_hi = tuple(c.reshape(ng, group, *c.shape[1:]) for c in ph_hi)
+    ph_lo = tuple(pr.fence(c.reshape(ng, group, *c.shape[1:])) for c in ph_lo)
+    ph_hi = tuple(pr.fence(c.reshape(ng, group, *c.shape[1:])) for c in ph_hi)
 
     def body(t, carry):
         acc, prod = carry
@@ -239,7 +245,9 @@ def blind_rotate_multibit_u32(
         jnp.zeros_like(acc[0], dtype=jnp.float32),
         jnp.zeros_like(acc[0], dtype=jnp.float32),
     )
-    acc, prod = jax.lax.fori_loop(0, ng, body, (acc, zero_prod))
+    acc, prod = jax.lax.fori_loop(
+        0, ng, body, (acc, zero_prod), unroll=unroll
+    )
     return lb.add(acc, lb.from_ds(*prod))
 
 
@@ -252,6 +260,7 @@ def programmable_bootstrap_multibit_u32(
     radix: RadixDecomposition,
     group: int,
     use_pallas=None,
+    unroll: int = 1,
 ):
     """Univariate multi-bit PBS: LWE limb pair [n0+1, B] -> LWE limb
     pair [k*N+1, B] (≙ `bootstrap_u32.programmable_bootstrap_u32`)."""
@@ -259,6 +268,7 @@ def programmable_bootstrap_multibit_u32(
     ct_sw = lb.modulus_switch(ct, 0, 0, two_n)
     lut_t = tuple(c[..., None] for c in lut_limb)
     rotated = blind_rotate_multibit_u32(
-        lut_t, ct_sw, bsk_mb_freq, lwe, glwe, radix, group, use_pallas
+        lut_t, ct_sw, bsk_mb_freq, lwe, glwe, radix, group, use_pallas,
+        unroll=unroll,
     )
     return sample_extract_u32(rotated, 0, glwe)

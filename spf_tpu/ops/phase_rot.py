@@ -239,6 +239,37 @@ def phase_minus_one_outer(t: jnp.ndarray, n: int,
     return (rh, rl, seq[2], seq[3])
 
 
+def fence(x: jnp.ndarray) -> jnp.ndarray:
+    """Identity through a trivial Pallas copy kernel — an optimization
+    FENCE: XLA cannot rematerialize a producer through a custom call,
+    so the fenced value is materialized exactly once. Used to pin the
+    hoisted per-step phase factors outside the blind-rotation
+    `fori_loop`: XLA's while-loop rematerialization otherwise recomputes
+    parts of the doubling chain every iteration (measured +250 us/group
+    at DEFAULT_128, B=256, g=3 — `scripts/gap_probe2.py`; an
+    `optimization_barrier` does NOT stop it). TPU only; identity
+    elsewhere."""
+    import jax as _jax
+
+    if _jax.devices()[0].platform != "tpu":
+        return x
+    from jax.experimental import pallas as pl
+
+    m = x.shape[0]
+    rest = x.shape[1:]
+
+    def _copy(s_ref, d_ref):
+        d_ref[...] = s_ref[...]
+
+    return pl.pallas_call(
+        _copy,
+        grid=(m,),
+        in_specs=[pl.BlockSpec((1,) + rest, lambda i: (i,) + (0,) * len(rest))],
+        out_specs=pl.BlockSpec((1,) + rest, lambda i: (i,) + (0,) * len(rest)),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+    )(x)
+
+
 def backend_bit_images(n: int, use_pallas: bool):
     """Frequency-order bit images for a backend's scramble: position r
     holds natural bin f(r) = sum_j bit_j(r) * images[j]. The Pallas DIF
@@ -252,6 +283,76 @@ def backend_bit_images(n: int, use_pallas: bool):
     from .fft_ds32_t import dif_bit_images
 
     return dif_bit_images(k)
+
+
+@functools.lru_cache(maxsize=64)
+def _psi_pow_consts(two_n: int, mult: int):
+    """ds components of psi^(mult * 2^b mod two_n) for b in
+    [0, log2(two_n)): the constant ladder for gather-free binary
+    exponentiation of psi^(mult * t)."""
+    bits = int(np.log2(two_n))
+    e = (np.int64(mult) * (np.int64(1) << np.arange(bits))) % two_n
+    w = np.exp(2j * np.pi * e.astype(np.float64) / two_n)
+    return (*ds.from_f64_array(w.real), *ds.from_f64_array(w.imag))
+
+
+def _psi_pow_of_t_multi(t: jnp.ndarray, mults: tuple, two_n: int):
+    """psi^(mults[r] * t) for ALL r in one batched binary-exponentiation
+    pass: returns a ds tuple of 4 f32 [R, *t.shape]. One 12-level chain
+    of [R, steps, B] cmuls instead of R separate [steps, B] chains —
+    the separate chains are LATENCY-bound on TPU ([639, 256] ops are
+    too small to fill the VPU; measured ~25 ms for 11 chains vs ~1 ms
+    batched)."""
+    consts = [_psi_pow_consts(two_n, m % two_n) for m in mults]
+    bits = int(np.log2(two_n))
+    r = len(mults)
+    one = jnp.ones((r,) + t.shape, jnp.float32)
+    zero = jnp.zeros((r,) + t.shape, jnp.float32)
+    acc = None
+    for b in range(bits):
+        on = (((t >> U32(b)) & U32(1)) > 0)[None]  # [1, steps, B]
+        shape_c = (r,) + (1,) * t.ndim
+        cb = [
+            jnp.asarray(
+                np.array([c[comp][b] for c in consts], np.float32)
+            ).reshape(shape_c)
+            for comp in range(4)
+        ]
+        fac = (
+            jnp.where(on, cb[0], one),
+            jnp.where(on, cb[1], zero),
+            jnp.where(on, cb[2], zero),
+            jnp.where(on, cb[3], zero),
+        )
+        acc = fac if acc is None else _cmul(acc, fac)
+    return acc
+
+
+def _psi_pow_of_t(t: jnp.ndarray, mult: int, two_n: int):
+    """psi^(mult * t) for u32 t [..] as a ds complex tuple, via binary
+    exponentiation over t's log2(two_n) bits with CONSTANT per-bit
+    factors — zero gathers. TPU gathers are ~100x slower than the
+    equivalent select+cmul chain: the gather-based `look` formulation
+    measured 107 ms for the full DEFAULT_128 phase-factor block
+    (`scripts/phase_cost_probe.py`); this form is pure VPU work.
+    Accumulates <= log2(two_n) cmul roundings (~2^-45), the same class
+    as the doubling chain it feeds."""
+    consts = _psi_pow_consts(two_n, mult % two_n)
+    bits = int(np.log2(two_n))
+    one = jnp.ones_like(t, jnp.float32)
+    zero = jnp.zeros_like(t, jnp.float32)
+    acc = None
+    for b in range(bits):
+        on = ((t >> U32(b)) & U32(1)) > 0
+        cb = tuple(np.float32(c[b]) for c in consts)
+        fac = (
+            jnp.where(on, cb[0], one),
+            jnp.where(on, cb[1], zero),
+            jnp.where(on, cb[2], zero),
+            jnp.where(on, cb[3], zero),
+        )
+        acc = fac if acc is None else _cmul(acc, fac)
+    return acc
 
 
 def phase_factors_all(a: jnp.ndarray, n: int, use_pallas: bool):
@@ -273,20 +374,47 @@ def phase_factors_all(a: jnp.ndarray, n: int, use_pallas: bool):
     j_count = int(np.log2(k))
     j_half = j_count // 2
     images = backend_bit_images(n, use_pallas)
-    tabs = tuple(jnp.asarray(c) for c in _psi_table_np(two_n))
     # keep [steps, B] unflattened: merging the lane axis into a bigger
     # one would defeat lane sharding (the multi-chip u32 pipeline shards
     # the LAST axis; a [steps*B] reshape makes XLA gather across chips)
     t = a.astype(U32)
-    mask = U32(two_n - 1)
 
-    def look(idx):
-        return tuple(jnp.take(c, idx.astype(jnp.int32), axis=0) for c in tabs)
+    # On TPU every factor psi^(c * t) is built GATHER-FREE by ONE
+    # batched binary-exponentiation chain over all multipliers
+    # (`_psi_pow_of_t_multi`): the psi-table gathers of the round-3
+    # formulation cost ~20 ms on TPU (scripts/phase_cost_probe.py), and
+    # the TPU backend performs no FP contraction, so the ds chain stays
+    # error-free. XLA:CPU fusion PERTURBS the ds compensation terms of
+    # the chain (~1e-7 jit-vs-eager diffs measured -> ~2^60 cycle
+    # errors), so CPU keeps the exact-table-lookup seeds (gathers are
+    # fast on CPU and each factor carries ONE rounding).
+    if jax.devices()[0].platform == "tpu":
+        mults = (1,) + tuple(-4 * int(images[j]) for j in range(j_count))
+        fac = _psi_pow_of_t_multi(t, mults, two_n)  # [1+j_count, steps, B]
+        seed = tuple(c[0] for c in fac)
+        qjs = [tuple(c[1 + j] for c in fac) for j in range(j_count)]
+    else:
+        two_n_mask = U32(two_n - 1)
+        tabs = tuple(jnp.asarray(c) for c in _psi_table_np(two_n))
+
+        def look(idx):
+            return tuple(
+                jnp.take(c, idx.astype(jnp.int32), axis=0) for c in tabs
+            )
+
+        seed = look(t & two_n_mask)
+        qjs = [
+            look(
+                (U32(0) - t * U32((4 * int(images[j])) % (2 * two_n)))
+                & two_n_mask
+            )
+            for j in range(j_count)
+        ]
 
     def doubling(j_lo, j_hi, seed):
         seq = tuple(c[None] for c in seed)  # [1, steps, B]
         for j in range(j_lo, j_hi):
-            qj = look((U32(0) - t * U32((4 * images[j]) % (2 * two_n))) & mask)
+            qj = qjs[j]
             shifted = _cmul(seq, tuple(c[None] for c in qj))
             seq = tuple(
                 jnp.concatenate([x, y], axis=0) for x, y in zip(seq, shifted)
@@ -295,7 +423,7 @@ def phase_factors_all(a: jnp.ndarray, n: int, use_pallas: bool):
 
     one = (jnp.ones_like(t, jnp.float32), jnp.zeros_like(t, jnp.float32),
            jnp.zeros_like(t, jnp.float32), jnp.zeros_like(t, jnp.float32))
-    lo = doubling(0, j_half, look(t & mask))  # C * Q^(low bits)
+    lo = doubling(0, j_half, seed)  # C * Q^(low bits)
     hi = doubling(j_half, j_count, one)  # Q^(high bits)
     return lo, hi
 

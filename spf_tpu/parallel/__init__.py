@@ -6,6 +6,7 @@ from .mesh import (  # noqa: F401
     shard_batch,
     shard_lanes,
     sharded_cbs,
+    sharded_cbs_u32,
     sharded_pbs,
     sharded_pbs_multibit,
 )

@@ -112,9 +112,51 @@ def sharded_pbs_multibit(lwe, glwe, radix, group: int, bsk_mb_freq,
             use_pallas=False,
         )
 
-    def lane_spec(leaf_ndim):
-        return NamedSharding(mesh, P(*([None] * (leaf_ndim - 1)), "batch"))
+    # shard_map, not jit+in_shardings: the SPMD partitioner's sharding
+    # propagation through the blind-rotation loop takes minutes-to-hours
+    # at production-ish shapes, while shard_map compiles the per-device
+    # body once (see `sharded_cbs_u32`)
+    from jax.experimental.shard_map import shard_map
 
-    in_s = (lane_spec(2), lane_spec(2))  # (hi, lo) [n0+1, B]
-    out_s = (lane_spec(2), lane_spec(2))  # (hi, lo) [k*N+1, B]
-    return jax.jit(step, in_shardings=(in_s,), out_shardings=out_s)
+    lane2 = P(None, "batch")
+    sm = shard_map(
+        step, mesh=mesh,
+        in_specs=((lane2, lane2),),
+        out_specs=(lane2, lane2),
+        check_rep=False,
+    )
+    return jax.jit(sm)
+
+
+def sharded_cbs_u32(params: Params, bsk_freq, ak_freq, ssk_freq, mesh: Mesh):
+    """Jitted PRODUCTION circuit bootstrap (`cbs_u32`, multi-bit or
+    single-bit key auto-detected) with the lane axis sharded over `mesh`
+    and every evaluation key replicated — the whole-cycle analog of
+    `sharded_pbs_multibit`: L0 LWE limb pair [n0+1, B] -> GGSW freq
+    tuple [k+1, l, k+1, K, B], zero collectives on the hot path.
+
+    Expressed with `shard_map`, NOT jit+in_shardings: the SPMD
+    partitioner takes tens of minutes propagating shardings through the
+    scan-structured CBS graph, while shard_map compiles the per-device
+    body once with no propagation pass — the natural expression of an
+    embarrassingly lane-parallel computation (each device runs the full
+    CBS on its lane shard against replicated keys)."""
+    from jax.experimental.shard_map import shard_map
+
+    from ..ops import cbs_u32 as cu
+
+    lane2 = P(None, "batch")
+    lane5 = P(None, None, None, None, "batch")
+
+    def step(ct_limb):
+        return cu.circuit_bootstrap_u32(
+            ct_limb, bsk_freq, ak_freq, ssk_freq, params, use_pallas=False
+        )
+
+    sm = shard_map(
+        step, mesh=mesh,
+        in_specs=((lane2, lane2),),
+        out_specs=tuple(lane5 for _ in range(4)),
+        check_rep=False,
+    )
+    return jax.jit(sm)

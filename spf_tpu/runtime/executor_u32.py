@@ -124,7 +124,8 @@ class U32CircuitExecutor:
     u64 arrays (GLWE [k+1, N], LWE0 [n0+1]).
     """
 
-    def __init__(self, key: U32ComputeKey, params: Params, use_pallas=None):
+    def __init__(self, key: U32ComputeKey, params: Params, use_pallas=None,
+                 whole_circuit: bool = True):
         self.key = key
         self.params = params
         self.use_pallas = use_pallas
@@ -134,6 +135,14 @@ class U32CircuitExecutor:
         # kernel call); list of (op, n_gates)
         self.wave_log: list = []
         self._jit_cache: dict = {}
+        # whole-circuit mode: compile each distinct circuit STRUCTURE
+        # into ONE donated jit program (≙ the reference scheduler's
+        # spawn-everything overlap, `circuit_processor/mod.rs:573-623`,
+        # re-expressed as one XLA program). The per-wave mode remains as
+        # `whole_circuit=False` for bounded compile time on one-shot
+        # circuits.
+        self.whole_circuit = whole_circuit
+        self._circuit_jit_cache: dict = {}
 
     # -- public API ----------------------------------------------------
 
@@ -141,14 +150,16 @@ class U32CircuitExecutor:
         """inputs: {param: numpy u64 array} (GLWE [k+1, N] or LWE0
         [n0+1]). Returns {output param: numpy u64 array}.
 
-        Execution model: the graph walk is host-driven; each levelized
-        WAVE dispatches one jitted kernel (`_kernel`) whose lane width
-        is padded to the next power of two, so the set of compiled
-        executables is tiny and SHARED across circuits and programs.
-        (Jitting whole flush graphs instead compiles minutes-to-hours
-        per distinct program at production parameters — per-wave
-        kernels trade a little dispatch overhead for bounded,
-        program-independent compile time.)"""
+        Execution model: the graph walk is host-driven. In
+        whole-circuit mode (default) the walk happens at TRACE time and
+        the entire levelized circuit compiles into one donated jit
+        executable, cached by circuit structure — one device dispatch
+        per flush instead of one per wave (the relay dispatch floor is
+        ~26 ms, so per-wave dispatch dominated whole-program latency).
+        With `whole_circuit=False` each wave dispatches one jitted
+        kernel whose lane width is padded to the next power of two, so
+        the set of compiled executables is tiny and SHARED across
+        circuits — bounded compile time for one-shot circuits."""
         circuit.validate()
         in_params = {
             n.param for n in circuit.nodes if n.op.value.startswith("input_")
@@ -156,10 +167,43 @@ class U32CircuitExecutor:
         limb_inputs = {
             p: lb.from_u64_np(np.asarray(inputs[p])) for p in in_params
         }
-        out = self._run_limb(circuit, limb_inputs)
+        if self.whole_circuit:
+            out = self._run_compiled(circuit, limb_inputs)
+        else:
+            out = self._run_limb(circuit, limb_inputs)
         return {
             p: lb.to_u64_np(jax.device_get(v)) for p, v in out.items()
         }
+
+    @staticmethod
+    def _circuit_key(circuit: FheCircuit, shapes) -> tuple:
+        nodes = tuple(
+            (n.op.value, n.param if isinstance(n.param, (int, str, type(None)))
+             else repr(n.param))
+            for n in circuit.nodes
+        )
+        return (nodes, tuple(circuit.edges), shapes)
+
+    def _run_compiled(self, circuit: FheCircuit, limb_inputs: dict) -> dict:
+        """One donated jit per distinct circuit structure (trace runs
+        `_run_limb`, so wave stats log once per compile, not per run)."""
+        names = sorted(limb_inputs)
+        shapes = tuple(
+            (n,) + tuple(limb_inputs[n][0].shape) for n in names
+        )
+        ck = self._circuit_key(circuit, shapes)
+        fn = self._circuit_jit_cache.get(ck)
+        if fn is None:
+            def traced(vals):
+                return self._run_limb(
+                    circuit, {n: v for n, v in zip(names, vals)}
+                )
+
+            fn = jax.jit(traced, donate_argnums=0)
+            self._circuit_jit_cache[ck] = fn
+            metrics.inc("u32exec.circuit_compiles")
+        # inputs are freshly device_put per run, so donation is safe
+        return fn([limb_inputs[n] for n in names])
 
     def _kernel(self, name, fn):
         """One jitted callable per op kind; jax specializes/caches per

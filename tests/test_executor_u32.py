@@ -162,3 +162,53 @@ class TestU32Executor:
             ct = encrypt_bits(glwe_sk, bit, 1, 200 + bit)[0]
             res = ex.run(g, {"x": ct})
             assert decrypt_bits(glwe_sk, [res["y"]]) == 1 - bit
+
+
+class TestPackedEndToEnd:
+    """VERDICT round-3 #10: packed_input -> arithmetic -> pack_output
+    END-TO-END on the u32 executor (the production pipeline), matching
+    `packed_dynamic_generic_int_graph_node.rs:24-38` +
+    `dynamic_generic_int_graph_nodes.rs:139-205`."""
+
+    def test_packed_add_on_u32_executor(self, material):
+        lwe_sk, glwe_sk, ck, ex = material
+        n = 4
+        a_val, b_val = 11, 7
+        ctx = FheCircuitCtx()
+        a = UInt.packed_input(ctx, n)
+        b = UInt.packed_input(ctx, n)
+        s = a + b
+        out_key = s.pack_output()
+
+        def pack_ct(value, seed):
+            poly = jnp.zeros((GLWE.degree,), dtype=jnp.uint64)
+            for i in range(n):
+                poly = poly.at[i].set((value >> i) & 1)
+            return np.asarray(
+                enc.encrypt_glwe(k(seed), torus.encode(poly, 1), glwe_sk, GLWE)
+            )
+
+        outputs = ex.run(
+            ctx.circuit,
+            {"in0": pack_ct(a_val, 70), "in1": pack_ct(b_val, 71)},
+        )
+        phase = enc.decrypt_glwe(jnp.asarray(outputs[out_key]), glwe_sk, GLWE)
+        bits = np.asarray(torus.decode(phase, 1))
+        got = sum(int(bits[i]) << i for i in range(n))
+        assert got == (a_val + b_val) % (1 << n)
+
+    def test_whole_circuit_matches_per_wave(self, material):
+        lwe_sk, glwe_sk, ck, ex = material
+        ctx = FheCircuitCtx()
+        a = UInt.input(ctx, 2)
+        b = UInt.input(ctx, 2)
+        out_keys = (a ^ b).output()
+        inputs = {}
+        cts = encrypt_bits(glwe_sk, 2, 2, 80) + encrypt_bits(glwe_sk, 3, 2, 90)
+        for key, ct in zip(a.input_keys() + b.input_keys(), inputs_cts := cts):
+            inputs[key] = ct
+        ex_waves = U32CircuitExecutor(ck, P, whole_circuit=False)
+        got_c = ex.run(ctx.circuit, inputs)
+        got_w = ex_waves.run(ctx.circuit, inputs)
+        assert decrypt_bits(glwe_sk, [got_c[kk] for kk in out_keys]) == 1
+        assert decrypt_bits(glwe_sk, [got_w[kk] for kk in out_keys]) == 1

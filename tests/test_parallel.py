@@ -235,3 +235,93 @@ class TestShardedMultibit:
 
         np.testing.assert_array_equal(decode_all(out), decode_all(ref))
         np.testing.assert_array_equal(decode_all(out), fn(msgs))
+
+
+class TestShardedCbsU32:
+    def test_sharded_production_cbs_decode_parity(self):
+        """The PRODUCTION conversion path (`cbs_u32` with a multi-bit
+        key), lane-sharded over 8 devices: GGSW outputs select correctly
+        under cmux at decrypt level and match the unsharded run's
+        decode, with zero collectives in the compiled HLO (VERDICT
+        round-3 #8: multi-chip evidence on the u32mb path, as a
+        repeatable test alongside the dryrun)."""
+        from spf_tpu.ops import bootstrap_u32 as bu, cbs_u32 as cu
+        from spf_tpu.ops import keyswitch as ks_mod, limb32 as lb
+        from spf_tpu.ops import multibit as mb
+        from spf_tpu.ops.scheme_switch import generate_scheme_switch_key
+        from spf_tpu.parallel import shard_lanes, sharded_cbs_u32
+
+        assert len(jax.devices()) >= 8
+        mesh = make_mesh(8)
+        group = 2
+        lwe_sk = enc.generate_lwe_sk(jax.random.fold_in(KEY, 40), LWE)
+        glwe_sk = enc.generate_glwe_sk(jax.random.fold_in(KEY, 41), GLWE)
+        bsk_mb = mb.generate_multibit_bsk(
+            jax.random.fold_in(KEY, 42), lwe_sk, glwe_sk, GLWE, PBS_RADIX,
+            group,
+        )
+        ak = ks_mod.generate_automorphism_keys(
+            jax.random.fold_in(KEY, 43), glwe_sk, GLWE, PARAMS.tr_radix,
+            be=None,
+        )
+        ssk = generate_scheme_switch_key(
+            jax.random.fold_in(KEY, 44), glwe_sk, GLWE, PARAMS.ss_radix,
+            be=None,
+        )
+        bsk_f = bu.bsk_to_freq_u32(np.asarray(bsk_mb), use_pallas=False)
+        ak_f = bu.bsk_to_freq_u32(np.asarray(ak), use_pallas=False)
+        ssk_f = bu.bsk_to_freq_u32(np.asarray(ssk), use_pallas=False)
+
+        batch = 16
+        bits_in = (np.arange(batch) % 2).astype(np.uint64)
+        sk_np = np.asarray(lwe_sk)
+        rng = np.random.default_rng(9)
+        a = rng.integers(0, 1 << 64, size=(batch, LWE.dim), dtype=np.uint64)
+        b = (a * sk_np[None, :]).sum(axis=1, dtype=np.uint64) + (
+            bits_in << np.uint64(63)
+        )
+        cts = lb.from_u64_np(np.concatenate([a, b[:, None]], axis=1).T)
+
+        step = sharded_cbs_u32(
+            PARAMS,
+            tuple(replicate(c, mesh) for c in bsk_f),
+            tuple(replicate(c, mesh) for c in ak_f),
+            tuple(replicate(c, mesh) for c in ssk_f),
+            mesh,
+        )
+        cts_sh = shard_lanes(cts, mesh)
+        hlo = step.lower(cts_sh).compile().as_text()
+        for coll in (
+            "all-reduce", "all-gather", "all-to-all", "collective-permute",
+            "reduce-scatter",
+        ):
+            assert coll not in hlo, f"collective {coll} on the sharded path"
+        ggsw_sh = step(cts_sh)
+        assert len(ggsw_sh[0].sharding.device_set) == 8
+        ggsw_ref = jax.jit(
+            lambda c: cu.circuit_bootstrap_u32(
+                c, bsk_f, ak_f, ssk_f, PARAMS, use_pallas=False
+            )
+        )(cts)
+
+        n1 = GLWE.degree
+        m1_np = np.zeros((GLWE.size + 1, n1, batch), dtype=np.uint64)
+        m1_np[-1, :, :] = np.uint64(1) << np.uint64(63)
+        m1 = lb.from_u64_np(m1_np)
+        m0 = lb.zeros((GLWE.size + 1, n1, batch))
+        sk_flat = np.asarray(glwe_sk).reshape(-1)
+
+        def decode(ggsw):
+            ggsw = tuple(jax.device_get(c) for c in ggsw)
+            sel = bu.cmux_u32(m0, m1, tuple(jnp.asarray(c) for c in ggsw),
+                              GLWE, PARAMS.cbs_radix, False)
+            l1 = bu.sample_extract_u32(sel, 0, GLWE)
+            arr = lb.to_u64_np(tuple(np.asarray(jax.device_get(c)) for c in l1)).T
+            ph = arr[:, -1] - (arr[:, :-1] * sk_flat[None, :]).sum(
+                axis=1, dtype=np.uint64
+            )
+            rb = (ph >> np.uint64(62)) & np.uint64(1)
+            return ((ph >> np.uint64(63)) + rb) & np.uint64(1)
+
+        np.testing.assert_array_equal(decode(ggsw_sh), bits_in)
+        np.testing.assert_array_equal(decode(ggsw_ref), bits_in)
