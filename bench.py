@@ -150,6 +150,12 @@ def main():
         " cmux, keyswitch, scheme switch); merge into BENCH_SUITE.json",
     )
     ap.add_argument(
+        "--suite-jobs", default=None,
+        help="comma-separated subset of suite x32 jobs to (re)run and"
+        " merge into BENCH_SUITE.json (e.g. mul8,program_hamming);"
+        " skips the in-process ops",
+    )
+    ap.add_argument(
         "--suite", action="store_true",
         help="run the full benchmark suite (cmux, glev cmux, keyswitch,"
         " scheme switch, pbs, cbs) and write BENCH_SUITE.json"
@@ -160,7 +166,7 @@ def main():
         cbs_mode = bool(args.cbs or args.intop or args.e2e_add or args.program)
         args.group = DEFAULT_MB_GROUP_CBS if cbs_mode else DEFAULT_MB_GROUP_PBS
 
-    if args.suite or args.suite_ops_only:
+    if args.suite or args.suite_ops_only or args.suite_jobs:
         return run_suite(args)
     if args.cpu or args.keygen_only or args.keygen_mb or args.suitevec_only:
         os.environ["JAX_PLATFORMS"] = "cpu"
@@ -544,16 +550,30 @@ def main():
                 circuit = ic.unsigned_multiplier(width, width)
                 expected = [int(a_vals[i]) * int(b_vals[i]) for i in range(n_inst)]
 
-            @jax.jit
-            def run_op(c):
-                ggsw = cu.circuit_bootstrap_u32(
+            # TWO jits (CBS, then the mux circuit): the single fused
+            # graph exceeds what the remote-compile service handles for
+            # the wide/deep circuits (mul8+ / add32 crashed the compile);
+            # the extra dispatch costs ~26 ms against a ~0.2-2 s latency
+            cbs_fn = jax.jit(
+                lambda c: cu.circuit_bootstrap_u32(
                     c, bsk_freq, ak_freq, ssk_freq, p, use_pallas=use_pallas,
                     phase_rot=phase_rot,
                 )
-                outs = evaluate_mux_circuit_u32(
-                    circuit, ggsw, glwe, p.cbs_radix, n_inst, use_pallas=use_pallas
+            )
+            def eval_fn(g):
+                # per-level jitted cmuxes (shared executables): the
+                # monolithic circuit jit crashed the remote-compile
+                # service for mul8+/add32-sized circuits
+                return tuple(
+                    tuple(o)
+                    for o in evaluate_mux_circuit_u32(
+                        circuit, g, glwe, p.cbs_radix, n_inst,
+                        use_pallas=use_pallas, per_level_jit=True,
+                    )
                 )
-                return tuple(tuple(o) for o in outs)
+
+            def run_op(c):
+                return eval_fn(cbs_fn(c))
 
             t0 = time.time()
             outs = run_op(cts_limb)
@@ -996,7 +1016,16 @@ def run_program_bench(args, p, bsk_freq, lwe_sk_np, glwe_sk_np, use_pallas,
         ),
     )
     print(f"# key material ready in {time.time()-t0:.1f}s", file=sys.stderr)
-    ex = U32CircuitExecutor(key, p, use_pallas=use_pallas)
+    # The program bench defaults to the PER-WAVE executor: whole-circuit
+    # jits of hamming/mul32-sized flush graphs exceed what the
+    # remote-compile relay finishes in 40 min (both timed out), while
+    # per-wave kernels are shared and bounded. SPF_U32_EXEC_WHOLE=1
+    # opts into the whole-circuit mode (the library default, which is
+    # the right trade on a local TPU where compiles are not tunneled).
+    ex = U32CircuitExecutor(
+        key, p, use_pallas=use_pallas,
+        whole_circuit=bool(os.environ.get("SPF_U32_EXEC_WHOLE")),
+    )
     ev = U32HostEvaluation(p)
     rngh = np.random.default_rng(20260818)
 
@@ -1147,6 +1176,10 @@ def run_suite(args):
     platform = jax.devices()[0].platform
     iters = args.iters or 3
     results = {}
+    only_jobs = (
+        [j.strip() for j in args.suite_jobs.split(",")]
+        if getattr(args, "suite_jobs", None) else None
+    )
 
     # --- keys + vectors (cached; CPU subprocesses generate on miss) ---
     def ensure(path, flag):
@@ -1216,180 +1249,182 @@ def run_suite(args):
         dec = ((ph >> np.uint64(63)) + rb) & np.uint64(1)
         return int((dec == expect_bits[: ct.shape[0]]).sum())
 
-    # --- CMux (the reference's headline ~40us/core op) ---
-    B = args.batch or 256
-    reps = (B + 7) // 8
-    sel_bits = np.tile(np.asarray(vec["ggsw_bits"]), reps)[:B]
-    ggsw_fft = be.fwd_torus(jnp.asarray(np.tile(np.asarray(vec["ggsws"]), (reps, 1, 1, 1, 1))[:B]))
-    d0 = jnp.tile(
-        jnp.asarray(enc.trivial_glwe(jnp.zeros((glwe.degree,), jnp.uint64), glwe)),
-        (B, 1, 1),
-    )
-    one_poly = jnp.zeros((glwe.degree,), jnp.uint64).at[0].set(jnp.uint64(1) << jnp.uint64(63))
-    d1 = jnp.tile(jnp.asarray(enc.trivial_glwe(one_poly, glwe)), (B, 1, 1))
-
-    best, first, out = time_steps(
-        lambda a, b_, s: fft_ops.cmux(a, b_, s, glwe, p.cbs_radix, be), d0, d1, ggsw_fft
-    )
-    n_ok = np_decrypt_glwe0(jax.device_get(out)[: min(B, 32)], sel_bits[: min(B, 32)])
-    results["cmux_per_sec"] = {
-        "value": round(B / best, 1), "batch": B, "best_step_s": round(best, 5),
-        "first_call_s": round(first, 1), "correct": f"{n_ok}/{min(B, 32)}",
-        "ref_single_core_per_sec": 25000,
-    }
-    print(f"# cmux: {results['cmux_per_sec']}", file=sys.stderr)
-
-    # --- GLEV CMux ---
-    Bg = max(16, B // 4)
-    repsg = (Bg + 7) // 8
-    glev_zero = jnp.tile(
-        jnp.asarray(enc.trivial_glev(jnp.zeros((glwe.degree,), jnp.uint64), glwe, p.cbs_radix)),
-        (Bg, 1, 1, 1),
-    )
-    glev_one = jnp.tile(
-        jnp.asarray(
-            enc.trivial_glev(
-                jnp.zeros((glwe.degree,), jnp.uint64).at[0].set(1), glwe, p.cbs_radix
-            )
-        ),
-        (Bg, 1, 1, 1),
-    )
-    sel_g = be.fwd_torus(jnp.asarray(np.tile(np.asarray(vec["ggsws"]), (repsg, 1, 1, 1, 1))[:Bg]))
-    best, first, out = time_steps(
-        lambda a, b_, s: fft_ops.glev_cmux(a, b_, s, glwe, p.cbs_radix, be),
-        glev_zero, glev_one, sel_g,
-    )
-    results["glev_cmux_per_sec"] = {
-        "value": round(Bg / best, 1), "batch": Bg, "best_step_s": round(best, 5),
-        "first_call_s": round(first, 1),
-    }
-    print(f"# glev_cmux: {results['glev_cmux_per_sec']}", file=sys.stderr)
-
-    # --- LWE keyswitch L1 -> L0 (byte-plane MXU path: the u64 einsum
-    # `ks_mod.keyswitch_lwe_to_lwe` cannot lower on TPU) ---
-    from spf_tpu.ops import limb32 as lbb
-    from spf_tpu.ops.keyswitch_u32 import keyswitch_lwe_u32, ksk_to_byte_planes
-
-    ksk_planes = ksk_to_byte_planes(np.load(os.path.join(KEY_CACHE, "default128_ksk.npy")))
-    ks_in = lbb.from_u64_np(np.asarray(vec["ks_in"]).T)  # t-layout [n+1, B]
-    ks_bits = np.asarray(vec["ks_bits"])
-    best, first, out = time_steps(
-        lambda c: keyswitch_lwe_u32(c, ksk_planes, glwe.as_lwe_def(), lwe, p.ks_radix),
-        ks_in,
-    )
-    out_np = lbb.to_u64_np(jax.device_get(out)).T  # [B, n0+1]
-    ph = out_np[:, -1] - (out_np[:, :-1] * lwe_sk_np[None, :]).sum(axis=1, dtype=np.uint64)
-    dec = ((ph >> np.uint64(63)) + ((ph >> np.uint64(62)) & np.uint64(1))) & np.uint64(1)
-    n_ok = int((dec == ks_bits).sum())
-    ks_batch = int(ks_bits.shape[0])
-    results["keyswitch_per_sec"] = {
-        "value": round(ks_batch / best, 1), "batch": ks_batch,
-        "best_step_s": round(best, 5), "first_call_s": round(first, 1),
-        "correct": f"{n_ok}/{ks_batch}",
-    }
-    print(f"# keyswitch: {results['keyswitch_per_sec']}", file=sys.stderr)
-
-    # --- scheme switch (GLEV -> GGSW fft) ---
-    ssk_fft = be.fwd_torus(
-        jnp.asarray(np.load(os.path.join(KEY_CACHE, "default128_ssk_coeff.npy")))
-    )
-    Bs = 32
-    repss = (Bs + 7) // 8
-    glev_in = jnp.asarray(np.tile(np.asarray(vec["glevs"]), (repss, 1, 1, 1))[:Bs])
-    best, first, out = time_steps(
-        lambda g: fft_ops.scheme_switch_fft(g, ssk_fft, glwe, p.cbs_radix, p.ss_radix, be),
-        glev_in,
-    )
-    results["scheme_switch_per_sec"] = {
-        "value": round(Bs / best, 1), "batch": Bs, "best_step_s": round(best, 5),
-        "first_call_s": round(first, 1),
-    }
-    print(f"# scheme_switch: {results['scheme_switch_per_sec']}", file=sys.stderr)
-
-    # --- bivariate PBS (t-layout ds32 pipeline, packed left*2^b + right;
-    # ≙ `programmable_bootstrapping.rs:575-621`) ---
-    from spf_tpu.ops import bootstrap as bs_mod, bootstrap_tpu as bt
-
-    ensure("default128_bsk_coeff.npy", "--keygen-only")
-    bsk_coeff = jnp.asarray(
-        np.load(os.path.join(KEY_CACHE, "default128_bsk_coeff.npy"))
-    )
-    bsk_t = jax.jit(bt.bsk_to_t)(bsk_coeff)
-    jax.block_until_ready(bsk_t)
-    bits2 = 2
-    lut2 = bs_mod.generate_bivariate_lut(
-        lambda l, r: (l + r) % 4, glwe, bits2
-    )
-    Bb = args.batch or 128
-    lhs_m = jnp.asarray(np.arange(Bb) % 4, jnp.uint64)
-    rhs_m = jnp.asarray((np.arange(Bb) // 4) % 4, jnp.uint64)
-    kbv = jax.random.fold_in(jax.random.key(2024), 555)
-    enc_batch = jax.vmap(
-        lambda k_, m: enc.encrypt_lwe(
-            k_, torus.encode(m, 2 * bits2 + 1), jnp.asarray(lwe_sk_np), lwe
+    if only_jobs is None:
+        # in-process crypto-op metrics (skipped for --suite-jobs: those runs only (re)execute the named x32 subprocess jobs and merge into the existing BENCH_SUITE.json)
+        # --- CMux (the reference's headline ~40us/core op) ---
+        B = args.batch or 256
+        reps = (B + 7) // 8
+        sel_bits = np.tile(np.asarray(vec["ggsw_bits"]), reps)[:B]
+        ggsw_fft = be.fwd_torus(jnp.asarray(np.tile(np.asarray(vec["ggsws"]), (reps, 1, 1, 1, 1))[:B]))
+        d0 = jnp.tile(
+            jnp.asarray(enc.trivial_glwe(jnp.zeros((glwe.degree,), jnp.uint64), glwe)),
+            (B, 1, 1),
         )
-    )
-    ct_l = enc_batch(jax.random.split(jax.random.fold_in(kbv, 0), Bb), lhs_m)
-    ct_r = enc_batch(jax.random.split(jax.random.fold_in(kbv, 1), Bb), rhs_m)
+        one_poly = jnp.zeros((glwe.degree,), jnp.uint64).at[0].set(jnp.uint64(1) << jnp.uint64(63))
+        d1 = jnp.tile(jnp.asarray(enc.trivial_glwe(one_poly, glwe)), (B, 1, 1))
 
-    def biv(cl, cr):
-        packed = cl * jnp.uint64(1 << bits2) + cr
-        return bt.from_t_layout(
-            bt.programmable_bootstrap_t(
-                bt.to_t_layout(packed), lut2, bsk_t, lwe, glwe, p.pbs_radix
+        best, first, out = time_steps(
+            lambda a, b_, s: fft_ops.cmux(a, b_, s, glwe, p.cbs_radix, be), d0, d1, ggsw_fft
+        )
+        n_ok = np_decrypt_glwe0(jax.device_get(out)[: min(B, 32)], sel_bits[: min(B, 32)])
+        results["cmux_per_sec"] = {
+            "value": round(B / best, 1), "batch": B, "best_step_s": round(best, 5),
+            "first_call_s": round(first, 1), "correct": f"{n_ok}/{min(B, 32)}",
+            "ref_single_core_per_sec": 25000,
+        }
+        print(f"# cmux: {results['cmux_per_sec']}", file=sys.stderr)
+
+        # --- GLEV CMux ---
+        Bg = max(16, B // 4)
+        repsg = (Bg + 7) // 8
+        glev_zero = jnp.tile(
+            jnp.asarray(enc.trivial_glev(jnp.zeros((glwe.degree,), jnp.uint64), glwe, p.cbs_radix)),
+            (Bg, 1, 1, 1),
+        )
+        glev_one = jnp.tile(
+            jnp.asarray(
+                enc.trivial_glev(
+                    jnp.zeros((glwe.degree,), jnp.uint64).at[0].set(1), glwe, p.cbs_radix
+                )
+            ),
+            (Bg, 1, 1, 1),
+        )
+        sel_g = be.fwd_torus(jnp.asarray(np.tile(np.asarray(vec["ggsws"]), (repsg, 1, 1, 1, 1))[:Bg]))
+        best, first, out = time_steps(
+            lambda a, b_, s: fft_ops.glev_cmux(a, b_, s, glwe, p.cbs_radix, be),
+            glev_zero, glev_one, sel_g,
+        )
+        results["glev_cmux_per_sec"] = {
+            "value": round(Bg / best, 1), "batch": Bg, "best_step_s": round(best, 5),
+            "first_call_s": round(first, 1),
+        }
+        print(f"# glev_cmux: {results['glev_cmux_per_sec']}", file=sys.stderr)
+
+        # --- LWE keyswitch L1 -> L0 (byte-plane MXU path: the u64 einsum
+        # `ks_mod.keyswitch_lwe_to_lwe` cannot lower on TPU) ---
+        from spf_tpu.ops import limb32 as lbb
+        from spf_tpu.ops.keyswitch_u32 import keyswitch_lwe_u32, ksk_to_byte_planes
+
+        ksk_planes = ksk_to_byte_planes(np.load(os.path.join(KEY_CACHE, "default128_ksk.npy")))
+        ks_in = lbb.from_u64_np(np.asarray(vec["ks_in"]).T)  # t-layout [n+1, B]
+        ks_bits = np.asarray(vec["ks_bits"])
+        best, first, out = time_steps(
+            lambda c: keyswitch_lwe_u32(c, ksk_planes, glwe.as_lwe_def(), lwe, p.ks_radix),
+            ks_in,
+        )
+        out_np = lbb.to_u64_np(jax.device_get(out)).T  # [B, n0+1]
+        ph = out_np[:, -1] - (out_np[:, :-1] * lwe_sk_np[None, :]).sum(axis=1, dtype=np.uint64)
+        dec = ((ph >> np.uint64(63)) + ((ph >> np.uint64(62)) & np.uint64(1))) & np.uint64(1)
+        n_ok = int((dec == ks_bits).sum())
+        ks_batch = int(ks_bits.shape[0])
+        results["keyswitch_per_sec"] = {
+            "value": round(ks_batch / best, 1), "batch": ks_batch,
+            "best_step_s": round(best, 5), "first_call_s": round(first, 1),
+            "correct": f"{n_ok}/{ks_batch}",
+        }
+        print(f"# keyswitch: {results['keyswitch_per_sec']}", file=sys.stderr)
+
+        # --- scheme switch (GLEV -> GGSW fft) ---
+        ssk_fft = be.fwd_torus(
+            jnp.asarray(np.load(os.path.join(KEY_CACHE, "default128_ssk_coeff.npy")))
+        )
+        Bs = 32
+        repss = (Bs + 7) // 8
+        glev_in = jnp.asarray(np.tile(np.asarray(vec["glevs"]), (repss, 1, 1, 1))[:Bs])
+        best, first, out = time_steps(
+            lambda g: fft_ops.scheme_switch_fft(g, ssk_fft, glwe, p.cbs_radix, p.ss_radix, be),
+            glev_in,
+        )
+        results["scheme_switch_per_sec"] = {
+            "value": round(Bs / best, 1), "batch": Bs, "best_step_s": round(best, 5),
+            "first_call_s": round(first, 1),
+        }
+        print(f"# scheme_switch: {results['scheme_switch_per_sec']}", file=sys.stderr)
+
+        # --- bivariate PBS (t-layout ds32 pipeline, packed left*2^b + right;
+        # ≙ `programmable_bootstrapping.rs:575-621`) ---
+        from spf_tpu.ops import bootstrap as bs_mod, bootstrap_tpu as bt
+
+        ensure("default128_bsk_coeff.npy", "--keygen-only")
+        bsk_coeff = jnp.asarray(
+            np.load(os.path.join(KEY_CACHE, "default128_bsk_coeff.npy"))
+        )
+        bsk_t = jax.jit(bt.bsk_to_t)(bsk_coeff)
+        jax.block_until_ready(bsk_t)
+        bits2 = 2
+        lut2 = bs_mod.generate_bivariate_lut(
+            lambda l, r: (l + r) % 4, glwe, bits2
+        )
+        Bb = args.batch or 128
+        lhs_m = jnp.asarray(np.arange(Bb) % 4, jnp.uint64)
+        rhs_m = jnp.asarray((np.arange(Bb) // 4) % 4, jnp.uint64)
+        kbv = jax.random.fold_in(jax.random.key(2024), 555)
+        enc_batch = jax.vmap(
+            lambda k_, m: enc.encrypt_lwe(
+                k_, torus.encode(m, 2 * bits2 + 1), jnp.asarray(lwe_sk_np), lwe
             )
         )
+        ct_l = enc_batch(jax.random.split(jax.random.fold_in(kbv, 0), Bb), lhs_m)
+        ct_r = enc_batch(jax.random.split(jax.random.fold_in(kbv, 1), Bb), rhs_m)
 
-    best, first, out = time_steps(biv, ct_l, ct_r)
-    dec = torus.decode(
-        enc.decrypt_lwe(
-            np.asarray(out), enc.glwe_sk_to_lwe_sk(jnp.asarray(glwe_sk_np)),
-            glwe.as_lwe_def(),
-        ),
-        2 * bits2,
-    )
-    expect = (np.asarray(lhs_m) + np.asarray(rhs_m)) % 4
-    n_ok = int((np.asarray(dec) == expect).sum())
-    results["bivariate_pbs_per_sec"] = {
-        "value": round(Bb / best, 1), "batch": Bb,
-        "best_step_s": round(best, 5), "first_call_s": round(first, 1),
-        "correct": f"{n_ok}/{Bb}",
-    }
-    print(f"# bivariate_pbs: {results['bivariate_pbs_per_sec']}", file=sys.stderr)
-
-    if getattr(args, "suite_ops_only", False):
-        # merge the freshly measured in-process ops into the existing
-        # suite results (the x32 subprocess metrics are kept as-is)
-        path = os.path.join(repo, "BENCH_SUITE.json")
-        merged = {}
-        if os.path.exists(path):
-            with open(path) as f:
-                merged = json.load(f)
-        merged.update(results)
-        prior = merged.get("platform")
-        if prior is not None and prior != platform:
-            # retained x32 subprocess metrics were measured on `prior`;
-            # labeling them with this process's platform would be a lie
-            print(
-                f"# WARNING: ops rerun on platform={platform} but kept"
-                f" metrics were measured on {prior}; keeping per-metric"
-                " platform labels",
-                file=sys.stderr,
+        def biv(cl, cr):
+            packed = cl * jnp.uint64(1 << bits2) + cr
+            return bt.from_t_layout(
+                bt.programmable_bootstrap_t(
+                    bt.to_t_layout(packed), lut2, bsk_t, lwe, glwe, p.pbs_radix
+                )
             )
-            for v in results.values():
-                if isinstance(v, dict):
-                    v["platform"] = platform
-        else:
-            merged["platform"] = platform
-        with open(path, "w") as f:
-            json.dump(merged, f, indent=1)
-        print(json.dumps({
-            "metric": "bench_suite_ops",
-            "value": results.get("cmux_per_sec", {}).get("value", 0),
-            "unit": "cmux/s (merged into BENCH_SUITE.json)",
-            "vs_baseline": 0,
-        }))
-        return
+
+        best, first, out = time_steps(biv, ct_l, ct_r)
+        dec = torus.decode(
+            enc.decrypt_lwe(
+                np.asarray(out), enc.glwe_sk_to_lwe_sk(jnp.asarray(glwe_sk_np)),
+                glwe.as_lwe_def(),
+            ),
+            2 * bits2,
+        )
+        expect = (np.asarray(lhs_m) + np.asarray(rhs_m)) % 4
+        n_ok = int((np.asarray(dec) == expect).sum())
+        results["bivariate_pbs_per_sec"] = {
+            "value": round(Bb / best, 1), "batch": Bb,
+            "best_step_s": round(best, 5), "first_call_s": round(first, 1),
+            "correct": f"{n_ok}/{Bb}",
+        }
+        print(f"# bivariate_pbs: {results['bivariate_pbs_per_sec']}", file=sys.stderr)
+
+        if getattr(args, "suite_ops_only", False):
+            # merge the freshly measured in-process ops into the existing
+            # suite results (the x32 subprocess metrics are kept as-is)
+            path = os.path.join(repo, "BENCH_SUITE.json")
+            merged = {}
+            if os.path.exists(path):
+                with open(path) as f:
+                    merged = json.load(f)
+            merged.update(results)
+            prior = merged.get("platform")
+            if prior is not None and prior != platform:
+                # retained x32 subprocess metrics were measured on `prior`;
+                # labeling them with this process's platform would be a lie
+                print(
+                    f"# WARNING: ops rerun on platform={platform} but kept"
+                    f" metrics were measured on {prior}; keeping per-metric"
+                    " platform labels",
+                    file=sys.stderr,
+                )
+                for v in results.values():
+                    if isinstance(v, dict):
+                        v["platform"] = platform
+            else:
+                merged["platform"] = platform
+            with open(path, "w") as f:
+                json.dump(merged, f, indent=1)
+            print(json.dumps({
+                "metric": "bench_suite_ops",
+                "value": results.get("cmux_per_sec", {}).get("value", 0),
+                "unit": "cmux/s (merged into BENCH_SUITE.json)",
+                "vs_baseline": 0,
+            }))
+            return
 
     # --- PBS, conversion cycle, integer ops, programs (x32 subprocesses) ---
     jobs = [("pbs", []), ("cbs_cycle", ["--cbs"])]
@@ -1401,6 +1436,8 @@ def run_suite(args):
     jobs.append(("program_hamming", ["--program", "hamming_distance"]))
     jobs.append(("program_cardio", ["--program", "cardio"]))
     x32_backend = os.environ.get("SPF_SUITE_X32_BACKEND", DEFAULT_TPU_BACKEND)
+    if only_jobs is not None:
+        jobs = [(n, e) for n, e in jobs if n in only_jobs]
     for name, extra in jobs:
         cmd = [sys.executable, __file__, "--backend", x32_backend] + extra
         if args.batch:
@@ -1411,14 +1448,20 @@ def run_suite(args):
             )
             line = [l for l in r.stdout.splitlines() if l.startswith("{")]
             results[name] = json.loads(line[-1]) if line else {
-                "error": (r.stderr or "")[-500:]
+                "error": (r.stderr or "")[-2500:]
             }
         except Exception as e:  # noqa: BLE001
             results[name] = {"error": str(e)[:500]}
         print(f"# {name}: {results[name]}", file=sys.stderr)
 
+    path = os.path.join(repo, "BENCH_SUITE.json")
+    if only_jobs is not None and os.path.exists(path):
+        with open(path) as f:
+            merged = json.load(f)
+        merged.update(results)
+        results = merged
     results["platform"] = platform
-    with open(os.path.join(repo, "BENCH_SUITE.json"), "w") as f:
+    with open(path, "w") as f:
         json.dump(results, f, indent=1)
 
     pbs_val = results.get("pbs", {}).get("value", 0) or 0

@@ -17,6 +17,7 @@ lanes busy.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -56,6 +57,23 @@ def trivial_bit_glwe_limb(bit: int, glwe: GlweDef, instances: int):
     return (hi, lo)
 
 
+_LEVEL_JIT_CACHE: dict = {}
+
+
+def _level_cmux_jit(width: int, glwe, cbs_radix, use_pallas):
+    """One cached cmux executable per power-of-two lane width: deep
+    circuits evaluated per-level reuse a handful of executables instead
+    of compiling one monolithic graph (the whole-circuit jit of the
+    mul8+/add32 benches crashed the remote-compile service)."""
+    key = (width, glwe, cbs_radix, bool(use_pallas))
+    f = _LEVEL_JIT_CACHE.get(key)
+    if f is None:
+        f = _LEVEL_JIT_CACHE[key] = jax.jit(
+            lambda a, b, s: cmux_u32(a, b, s, glwe, cbs_radix, use_pallas)
+        )
+    return f
+
+
 def evaluate_mux_circuit_u32(
     circuit: MuxCircuit,
     sel_ggsw_freq,
@@ -63,6 +81,7 @@ def evaluate_mux_circuit_u32(
     cbs_radix: RadixDecomposition,
     instances: int,
     use_pallas=None,
+    per_level_jit: bool = False,
 ):
     """Evaluate `circuit` over encrypted selects.
 
@@ -70,6 +89,12 @@ def evaluate_mux_circuit_u32(
     `circuit_bootstrap_u32`, ordered input-major (input i's I instances
     contiguous at i*I..(i+1)*I). Returns the list of output wires, each
     a GLWE limb pair [k+1, N, I].
+
+    `per_level_jit=True` dispatches each level as its own jitted cmux
+    (lane width padded to the next power of two so executables are
+    shared across levels) instead of tracing everything into the
+    caller's graph — bounded compile for deep circuits at the cost of
+    one dispatch per level.
     """
     ii = instances
     vals: dict[int, tuple] = {}
@@ -95,7 +120,20 @@ def evaluate_mux_circuit_u32(
             [circuit.nodes[n][1] * ii + np.arange(ii) for n in level]
         )
         sel = tuple(jnp.take(c, jnp.asarray(sel_idx), axis=-1) for c in sel_ggsw_freq)
-        out = cmux_u32(lo, hi, sel, glwe, cbs_radix, use_pallas)
+        if per_level_jit:
+            w = lo[0].shape[-1]
+            wp = 1 << (w - 1).bit_length()
+            if wp != w:
+                def pad(t):
+                    return tuple(
+                        jnp.pad(c, [(0, 0)] * (c.ndim - 1) + [(0, wp - w)])
+                        for c in t
+                    )
+                lo, hi, sel = pad(lo), pad(hi), pad(sel)
+            out = _level_cmux_jit(wp, glwe, cbs_radix, use_pallas)(lo, hi, sel)
+            out = tuple(c[..., :w] for c in out)
+        else:
+            out = cmux_u32(lo, hi, sel, glwe, cbs_radix, use_pallas)
         for j, n in enumerate(level):
             vals[n] = tuple(c[..., j * ii : (j + 1) * ii] for c in out)
     return [vals[o] for o in circuit.outputs]

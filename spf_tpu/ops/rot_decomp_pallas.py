@@ -37,6 +37,20 @@ U32 = jnp.uint32
 _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 
+def _pad_lanes_128(arrs):
+    """Pad the trailing (lane) axis of each array to a multiple of 128.
+    The executor pads gate waves to powers of two, so CBS waves with
+    <=64 gates reach these kernels at sub-tile lane counts; Mosaic
+    blocks are 128-lane, so pad here and let callers slice back.
+    Returns (padded_arrays, original_lane_count)."""
+    b = arrs[0].shape[-1]
+    pad = (-b) % LANES
+    if pad == 0:
+        return arrs, b
+    widths = [(0, 0)] * (arrs[0].ndim - 1) + [(0, pad)]
+    return tuple(jnp.pad(a, widths) for a in arrs), b
+
+
 def _rotate_limb_rolls(acc, t, n: int):
     """acc = (hi, lo) [N, B_tile]; t u32 [1, B_tile] < 2N. Bit-selected
     static rolls (unrolled python loop: Mosaic reuses nothing across a
@@ -88,8 +102,13 @@ def rotate_sub_decompose_acc(acc, prod_ds, t, radix: RadixDecomposition, interpr
     Returns (digit planes f32 [count, k+1, N, B], updated acc limb
     pair). Folding the accumulate into this kernel removes the
     standalone from_ds + limb-add XLA pass from every step."""
+    (ah, al, ph, pl_), b0 = _pad_lanes_128(
+        (acc[0], acc[1], prod_ds[0], prod_ds[1])
+    )
+    acc, prod_ds = (ah, al), (ph, pl_)
+    if t.shape[-1] != acc[0].shape[-1]:
+        t = jnp.pad(t, (0, acc[0].shape[-1] - t.shape[-1]))
     kp1, n, b = acc[0].shape
-    assert b % LANES == 0, b
     t2 = jnp.broadcast_to(t.astype(U32)[None, :], (1, b))
     grid = (kp1, b // LANES)
     kern = functools.partial(_kernel_acc, n=n, radix=radix)
@@ -110,6 +129,9 @@ def rotate_sub_decompose_acc(acc, prod_ds, t, radix: RadixDecomposition, interpr
         interpret=interpret,
         compiler_params=None if interpret else _COMPILER_PARAMS,
     )(t2, acc[0], acc[1], prod_ds[0], prod_ds[1])
+    if b0 != b:
+        digs = digs[..., :b0]
+        hi, lo = hi[..., :b0], lo[..., :b0]
     return digs, (hi, lo)
 
 
@@ -129,8 +151,9 @@ def accumulate_decompose(acc, prod_ds, radix: RadixDecomposition, interpret=Fals
     coefficient-domain rotation (it happens in the frequency domain, see
     `phase_rot.py`). Returns (digit planes f32 [count, k+1, N, B],
     updated acc limb pair)."""
+    (ah, al, ph, pl_), b0 = _pad_lanes_128((acc[0], acc[1], prod_ds[0], prod_ds[1]))
+    acc, prod_ds = (ah, al), (ph, pl_)
     kp1, n, b = acc[0].shape
-    assert b % LANES == 0, b
     grid = (kp1, b // LANES)
     kern = functools.partial(_kernel_accdec, radix=radix)
     a_spec = pl.BlockSpec((1, n, LANES), lambda i, j: (i, 0, j))
@@ -149,16 +172,21 @@ def accumulate_decompose(acc, prod_ds, radix: RadixDecomposition, interpret=Fals
         interpret=interpret,
         compiler_params=None if interpret else _COMPILER_PARAMS,
     )(acc[0], acc[1], prod_ds[0], prod_ds[1])
+    if b0 != b:
+        digs = digs[..., :b0]
+        hi, lo = hi[..., :b0], lo[..., :b0]
     return digs, (hi, lo)
 
 
 @functools.partial(jax.jit, static_argnames=("radix", "interpret"))
 def rotate_sub_decompose(acc, t, radix: RadixDecomposition, interpret=False):
     """acc limb pair [k+1, N, B], t u32 [B] -> digit planes f32
-    [count, k+1, N, B] of (acc*X^t - acc), ready for the signed FFT.
-    B must be a multiple of 128."""
+    [count, k+1, N, B] of (acc*X^t - acc), ready for the signed FFT
+    (lanes padded to a multiple of 128 internally)."""
+    (ah, al), b0 = _pad_lanes_128((acc[0], acc[1]))
+    acc = (ah, al)
+    t = jnp.pad(t, (0, acc[0].shape[-1] - t.shape[-1])) if t.shape[-1] != acc[0].shape[-1] else t
     kp1, n, b = acc[0].shape
-    assert b % LANES == 0, b
     t2 = jnp.broadcast_to(t.astype(U32)[None, :], (1, b))
     grid = (kp1, b // LANES)
     kern = functools.partial(_kernel, n=n, radix=radix)
@@ -166,7 +194,7 @@ def rotate_sub_decompose(acc, t, radix: RadixDecomposition, interpret=False):
     a_spec = pl.BlockSpec((1, n, LANES), lambda i, j: (i, 0, j))
     d_spec = pl.BlockSpec((radix.count, 1, n, LANES), lambda i, j: (0, i, 0, j))
     out_shape = jax.ShapeDtypeStruct((radix.count, kp1, n, b), jnp.float32)
-    return pl.pallas_call(
+    digs = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[t_spec, a_spec, a_spec],
@@ -175,3 +203,4 @@ def rotate_sub_decompose(acc, t, radix: RadixDecomposition, interpret=False):
         interpret=interpret,
         compiler_params=None if interpret else _COMPILER_PARAMS,
     )(t2, acc[0], acc[1])
+    return digs[..., :b0] if b0 != b else digs
