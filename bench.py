@@ -504,7 +504,10 @@ def main():
             # reference's criterion metric set: add & mul latency). ----
             from spf_tpu.circuits import integer as ic
             from spf_tpu.ops import cbs_u32 as cu
-            from spf_tpu.ops.mux_eval_u32 import evaluate_mux_circuit_u32
+            from spf_tpu.ops.keyswitch_u32 import ksk_to_byte_planes
+            from spf_tpu.ops.mux_eval_u32 import (
+                RefreshKeys, evaluate_mux_circuit_u32,
+            )
 
             op = args.intop or "add"
             width = args.width or 8
@@ -513,6 +516,16 @@ def main():
             ssk_np = np.load(os.path.join(KEY_CACHE, "default128_ssk_coeff.npy"))
             ak_freq = _freq_cached("ak", ak_np, use_pallas, bu, jax, np, jnp)
             ssk_freq = _freq_cached("ssk", ssk_np, use_pallas, bu, jax, np, jnp)
+            # mid-tree wire recryption for deep circuits (mul16's
+            # depth-510 chains exceed the unrefreshed noise budget —
+            # the r4 mul16 0/4 failure)
+            refresh = RefreshKeys(
+                bsk_freq=bsk_freq, ak_freq=ak_freq, ssk_freq=ssk_freq,
+                ksk_planes=ksk_to_byte_planes(
+                    np.load(os.path.join(KEY_CACHE, "default128_ksk.npy"))
+                ),
+                params=p,
+            )
 
             n_inst = max(1, 64 // width)  # 2*width*n_inst = 128 lanes
             rng2 = np.random.default_rng(11)
@@ -563,6 +576,7 @@ def main():
                     for o in evaluate_mux_circuit_u32(
                         circuit, g, glwe, p.cbs_radix, n_inst,
                         use_pallas=use_pallas, per_level_jit=True,
+                        refresh=refresh,
                     )
                 )
 
@@ -1226,6 +1240,18 @@ def run_suite(args):
         total = time.time() - t0
         return total / n, first, fn_j(*arrs)
 
+    def _np_glwe_phase0(ct, glwe_sk, gdef):
+        """Phase at coefficient 0 of one GLWE [k+1, N] (numpy u64)."""
+        acc = np.uint64(0)
+        for i in range(gdef.size):
+            a = np.asarray(ct[i])
+            s = np.asarray(glwe_sk[i])
+            nz = np.nonzero(s[1:])[0]
+            acc += a[0] * s[0] - np.sum(
+                a[gdef.degree - nz - 1]
+            ).astype(np.uint64)
+        return np.asarray(ct[-1])[0] - acc
+
     def np_decrypt_glwe0(ct, expect_bits):
         """Decode bit at coefficient 0 of batched GLWEs [B, k+1, N]."""
         ct = np.asarray(ct)
@@ -1288,13 +1314,30 @@ def run_suite(args):
             (Bg, 1, 1, 1),
         )
         sel_g = be.fwd_torus(jnp.asarray(np.tile(np.asarray(vec["ggsws"]), (repsg, 1, 1, 1, 1))[:Bg]))
+        sel_g_bits = np.tile(np.asarray(vec["ggsw_bits"]), repsg)[:Bg]
         best, first, out = time_steps(
             lambda a, b_, s: fft_ops.glev_cmux(a, b_, s, glwe, p.cbs_radix, be),
             glev_zero, glev_one, sel_g,
         )
+        # decrypt-verify (VERDICT r4 #7): every level j of the selected
+        # GLEV must decode the select bit at scale q/B^(j+1)
+        # (≙ glev encryption round-trip tests, `glev_encryption.rs`)
+        out_np = np.asarray(jax.device_get(out))
+        nchk = min(Bg, 16)
+        n_ok = 0
+        for b in range(nchk):
+            ok = True
+            for j in range(p.cbs_radix.count):
+                ph = _np_glwe_phase0(out_np[b, j], glwe_sk_np, glwe)
+                sh = np.uint64(64 - p.cbs_radix.radix_log * (j + 1))
+                dec = (
+                    (ph >> sh) + ((ph >> (sh - np.uint64(1))) & np.uint64(1))
+                ) & np.uint64((1 << p.cbs_radix.radix_log) - 1)
+                ok &= int(dec) == int(sel_g_bits[b])
+            n_ok += int(ok)
         results["glev_cmux_per_sec"] = {
             "value": round(Bg / best, 1), "batch": Bg, "best_step_s": round(best, 5),
-            "first_call_s": round(first, 1),
+            "first_call_s": round(first, 1), "correct": f"{n_ok}/{nchk}",
         }
         print(f"# glev_cmux: {results['glev_cmux_per_sec']}", file=sys.stderr)
 
@@ -1329,13 +1372,25 @@ def run_suite(args):
         Bs = 32
         repss = (Bs + 7) // 8
         glev_in = jnp.asarray(np.tile(np.asarray(vec["glevs"]), (repss, 1, 1, 1))[:Bs])
+        glev_bits = np.tile(np.asarray(vec["glev_bits"]), repss)[:Bs]
         best, first, out = time_steps(
             lambda g: fft_ops.scheme_switch_fft(g, ssk_fft, glwe, p.cbs_radix, p.ss_radix, be),
             glev_in,
         )
+        # decrypt-verify (VERDICT r4 #7): the emitted GGSW must SELECT
+        # correctly — run each through cmux(trivial 0, trivial 1) and
+        # decode, which exercises every row including the -s_i*m ones
+        # (≙ `fft_ops.rs:650-703` scheme_switch_fft_matches_non_fft)
+        nchk = min(Bs, 16)
+        chk = jax.jit(
+            lambda s: fft_ops.cmux(
+                d0[:nchk], d1[:nchk], s, glwe, p.cbs_radix, be
+            )
+        )(tuple(c[:nchk] for c in out) if isinstance(out, tuple) else out[:nchk])
+        n_ok = np_decrypt_glwe0(jax.device_get(chk), glev_bits[:nchk])
         results["scheme_switch_per_sec"] = {
             "value": round(Bs / best, 1), "batch": Bs, "best_step_s": round(best, 5),
-            "first_call_s": round(first, 1),
+            "first_call_s": round(first, 1), "correct": f"{n_ok}/{nchk}",
         }
         print(f"# scheme_switch: {results['scheme_switch_per_sec']}", file=sys.stderr)
 

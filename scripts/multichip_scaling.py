@@ -123,9 +123,8 @@ def main():
     lut_np = bootstrap.generate_lut_np([lambda x: (x + 1) % 4], glwe, 2)
     lut_limb = lbb.from_u64_np(lut_np)
     cts_limb_full = lbb.from_u64_np(np.asarray(cts_full).T)
-    # phases < 2N for the limb pipeline
-    two_n = glwe.log_degree + 1
-    cts_sw_full = lbb.modulus_switch(cts_limb_full, 0, 0, two_n)
+    # (the sharded step takes raw limb ciphertexts; it modulus-switches
+    # internally — do NOT pre-switch here, that would double-switch)
     results["cpu_mesh_timing_u32mb"] = {}
     for n_dev in (1, 2, 4):
         mesh = make_mesh(n_dev)

@@ -249,10 +249,6 @@ def fence(x: jnp.ndarray) -> jnp.ndarray:
     at DEFAULT_128, B=256, g=3 — `scripts/gap_probe2.py`; an
     `optimization_barrier` does NOT stop it). TPU only; identity
     elsewhere."""
-    import jax as _jax
-
-    if _jax.devices()[0].platform != "tpu":
-        return x
     from jax.experimental import pallas as pl
 
     m = x.shape[0]
@@ -261,13 +257,23 @@ def fence(x: jnp.ndarray) -> jnp.ndarray:
     def _copy(s_ref, d_ref):
         d_ref[...] = s_ref[...]
 
-    return pl.pallas_call(
-        _copy,
-        grid=(m,),
-        in_specs=[pl.BlockSpec((1,) + rest, lambda i: (i,) + (0,) * len(rest))],
-        out_specs=pl.BlockSpec((1,) + rest, lambda i: (i,) + (0,) * len(rest)),
-        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
-    )(x)
+    def _tpu(v):
+        return pl.pallas_call(
+            _copy,
+            grid=(m,),
+            in_specs=[
+                pl.BlockSpec((1,) + rest, lambda i: (i,) + (0,) * len(rest))
+            ],
+            out_specs=pl.BlockSpec(
+                (1,) + rest, lambda i: (i,) + (0,) * len(rest)
+            ),
+            out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        )(v)
+
+    # Branch by the LOWERING platform (advisor r4): a TPU process that
+    # places this computation on CPU must take the identity path, and
+    # vice versa — `jax.devices()[0]` only reflects the process default.
+    return jax.lax.platform_dependent(x, tpu=_tpu, default=lambda v: v)
 
 
 def backend_bit_images(n: int, use_pallas: bool):
@@ -387,13 +393,18 @@ def phase_factors_all(a: jnp.ndarray, n: int, use_pallas: bool):
     # error-free. XLA:CPU fusion PERTURBS the ds compensation terms of
     # the chain (~1e-7 jit-vs-eager diffs measured -> ~2^60 cycle
     # errors), so CPU keeps the exact-table-lookup seeds (gathers are
-    # fast on CPU and each factor carries ONE rounding).
-    if jax.devices()[0].platform == "tpu":
+    # fast on CPU and each factor carries ONE rounding). The branch is
+    # selected by the LOWERING platform (`lax.platform_dependent`), not
+    # the process default device (advisor r4): computation explicitly
+    # placed on CPU inside a TPU process takes the CPU-safe path.
+    def _factors_tpu(t):
         mults = (1,) + tuple(-4 * int(images[j]) for j in range(j_count))
         fac = _psi_pow_of_t_multi(t, mults, two_n)  # [1+j_count, steps, B]
         seed = tuple(c[0] for c in fac)
         qjs = [tuple(c[1 + j] for c in fac) for j in range(j_count)]
-    else:
+        return seed, qjs
+
+    def _factors_cpu(t):
         two_n_mask = U32(two_n - 1)
         tabs = tuple(jnp.asarray(c) for c in _psi_table_np(two_n))
 
@@ -410,6 +421,11 @@ def phase_factors_all(a: jnp.ndarray, n: int, use_pallas: bool):
             )
             for j in range(j_count)
         ]
+        return seed, qjs
+
+    seed, qjs = jax.lax.platform_dependent(
+        t, tpu=_factors_tpu, default=_factors_cpu
+    )
 
     def doubling(j_lo, j_hi, seed):
         seq = tuple(c[None] for c in seed)  # [1, steps, B]

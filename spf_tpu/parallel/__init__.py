@@ -10,3 +10,12 @@ from .mesh import (  # noqa: F401
     sharded_pbs,
     sharded_pbs_multibit,
 )
+from .multihost import (  # noqa: F401
+    init_distributed,
+    make_multihost_mesh,
+    replicate_multihost,
+    scaling_model,
+    shard_lanes_multihost,
+    sharded_cbs_u32_multihost,
+    sharded_pbs_multibit_multihost,
+)

@@ -153,6 +153,13 @@ class Node:
     param: object = None
 
 
+# Fresh-path bound before a GLWE mux wire is recrypted through the
+# conversion cycle (see `insert_mux_circuit`). 64 keeps the worst-case
+# tree noise ~2^58.6 against the 2^62 decision boundary at DEFAULT_128
+# (measured per-CMux std ~2^55.6 on the u32 pipeline, diag r5).
+DEFAULT_MUX_REFRESH_DEPTH = 64
+
+
 class FheCircuit:
     """Mutable DAG builder."""
 
@@ -251,35 +258,66 @@ class FheCircuit:
 
     # --- builders ---
 
-    def insert_mux_circuit(self, mux_circuit, input_nodes: list[int], glev: bool = False):
+    def insert_mux_circuit(self, mux_circuit, input_nodes: list[int],
+                           glev: bool = False,
+                           refresh_every: int | None = None):
         """Graft a `MuxCircuit` into this graph. `input_nodes` must
         produce GGSWs (inputs, CBS, or scheme-switch nodes;
         `fhe_circuit.rs:274-422`). `glev=True` uses GLEV CMuxes with
         GLEV constants (the `Muxable` GLEV mode). Returns the node ids
-        of the mux circuit's outputs."""
+        of the mux circuit's outputs.
+
+        `refresh_every` bounds the CMux-chain noise of deep circuits:
+        any wire whose fresh-path length (number of chained CMuxes since
+        a constant or refreshed wire) reaches the bound is re-encrypted
+        through the conversion cycle (extract -> keyswitch -> CBS ->
+        external product with ONE). At DEFAULT_128 on the u32 pipeline
+        the measured per-CMux noise std is ~2^55-56 in torus units, so
+        unrefreshed depth-510 trees (the 16x16 multiplier) exceed the
+        2^62 binary decision boundary — the BENCH_SUITE r4 mul16 0/4
+        failure. `None` (default) resolves to 64 for GLWE-mode muxes
+        (noise ~2^58.6 at the bound: >10 sigma of headroom) and to
+        no-refresh for GLEV mode; pass 0 to disable. (The reference
+        needs no refresh: its f64 kernel + single-bit CBS keep
+        per-CMux noise ~2^53, depth 1024 — `params.rs:103-106`.)"""
         assert len(input_nodes) == mux_circuit.num_inputs
         for n_id in input_nodes:
             if OUTPUT_TYPE[self.nodes[n_id].op] != CtType.GGSW1:
                 raise CircuitError(
                     "mux circuits connect only to GGSW-producing nodes"
                 )
+        if refresh_every is None:
+            refresh_every = 0 if glev else DEFAULT_MUX_REFRESH_DEPTH
         mux_op = FheOp.GLEV_CMUX if glev else FheOp.CMUX
         zero_op = FheOp.ZERO_GLEV1 if glev else FheOp.ZERO_GLWE1
         one_op = FheOp.ONE_GLEV1 if glev else FheOp.ONE_GLWE1
         rename = {}
+        fresh_path = {}
         for i, node in enumerate(mux_circuit.nodes):
             kind = node[0]
             if kind == "zero":
                 rename[i] = self.add_node(zero_op)
+                fresh_path[i] = 0
             elif kind == "one":
                 rename[i] = self.add_node(one_op)
+                fresh_path[i] = 0
             else:
                 _, sel, lo, hi = node
                 idx = self.add_node(mux_op)
                 self.add_edge(input_nodes[sel], idx, FheEdge.SEL)
                 self.add_edge(rename[lo], idx, FheEdge.LOW)
                 self.add_edge(rename[hi], idx, FheEdge.HIGH)
+                fp = max(fresh_path[lo], fresh_path[hi]) + 1
+                if refresh_every and fp >= refresh_every:
+                    idx = self.insert_ciphertext_conversion(
+                        idx, CtType.GLWE1, CtType.GGSW1
+                    )
+                    idx = self.insert_ciphertext_conversion(
+                        idx, CtType.GGSW1, CtType.GLWE1
+                    )
+                    fp = 1
                 rename[i] = idx
+                fresh_path[i] = fp
         return [rename[o] for o in mux_circuit.outputs]
 
     def insert_ciphertext_conversion(
