@@ -244,6 +244,20 @@ def main():
     iters = args.iters or (2 if args.quick else 5)
 
     p = DEFAULT_128
+    if cbs_mode and os.environ.get("SPF_CBS_PBS_RADIX"):
+        # opt-in override of the CBS-internal blind-rotation radix
+        # (e.g. SPF_CBS_PBS_RADIX=4,8): the ds32 FFT-MAD error scales
+        # with digit magnitude, so a narrower-digit radix cuts CBS
+        # output noise at ~2x blind-rotation cost (see Params
+        # .cbs_pbs_radix); the multi-bit key cache is suffixed per radix
+        import dataclasses as _dc
+
+        from spf_tpu.params import RadixDecomposition as _RD
+
+        _l, _b = (
+            int(x) for x in os.environ["SPF_CBS_PBS_RADIX"].split(",")
+        )
+        p = _dc.replace(p, cbs_pbs_radix=_RD(count=_l, radix_log=_b))
     lwe, glwe, radix = p.l0_params, p.l1_params, p.pbs_radix
     bits = 3
 
@@ -390,14 +404,24 @@ def main():
         t0 = time.time()
         if multibit:
             g = args.group
-            mb_path = os.path.join(KEY_CACHE, f"default128_bskmb{g}_coeff.npy")
+            # CBS-dependent modes blind-rotate at cbs_pbs_radix_eff
+            # (may differ from pbs_radix; the key cache is per radix)
+            br = p.cbs_pbs_radix_eff if cbs_mode else p.pbs_radix
+            sfx = (
+                "" if br == p.pbs_radix
+                else f"_r{br.count}x{br.radix_log}"
+            )
+            mb_path = os.path.join(
+                KEY_CACHE, f"default128_bskmb{g}{sfx}_coeff.npy"
+            )
             if not os.path.exists(mb_path):
                 # on-device multi-bit keygen (u32): no subprocess
-                print(f"# generating multibit bsk (g={g}) on-device...",
+                print(f"# generating multibit bsk (g={g}{sfx}) on-device...",
                       file=sys.stderr)
-                _keygen_on_device(p, jax, np, group=g)
+                _keygen_on_device(p, jax, np, group=g, mb_radix=br)
             bsk_freq = _freq_cached(
-                f"bskmb{g}", np.load(mb_path), use_pallas, bu, jax, np, jnp
+                f"bskmb{g}{sfx}", np.load(mb_path), use_pallas, bu, jax,
+                np, jnp,
             )
         else:
             bsk_freq = _freq_cached(
@@ -601,11 +625,17 @@ def main():
                         )
                     )
                 out_keys = []
+                refresh_every = (
+                    int(os.environ["SPF_MUX_REFRESH"])
+                    if "SPF_MUX_REFRESH" in os.environ else None
+                )
                 for j in range(n_inst):
                     sels = [
                         sel_all[idx * n_inst + j] for idx in range(2 * width)
                     ]
-                    outs_j = g.insert_mux_circuit(circuit, sels)
+                    outs_j = g.insert_mux_circuit(
+                        circuit, sels, refresh_every=refresh_every
+                    )
                     for wi, o in enumerate(outs_j):
                         okey = f"o{j}_{wi}"
                         on = g.add_node(FheOp.OUTPUT_GLWE1, okey)
@@ -641,6 +671,8 @@ def main():
                 n1 = glwe.degree
                 sums = [0] * n_inst
                 n_ok = 0
+                margins = []  # per-output-bit noise margin (bits to the
+                # 2^62 decision boundary) vs the EXPECTED bit
                 for (j, wi, okey) in out_keys:
                     wirex = res[okey]  # u64 [k+1, N]
                     a_p, b_p = wirex[0], wirex[1]
@@ -653,6 +685,16 @@ def main():
                         + ((phase >> np.uint64(62)) & 1)
                     ) & 1
                     sums[j] |= int(bit) << wi
+                    eb = (int(expected[j]) >> wi) & 1
+                    err = (int(phase) - (eb << 63)) % (1 << 64)
+                    if err >= 1 << 63:
+                        err = (1 << 64) - err
+                    margins.append(62 - np.log2(max(err, 1)))
+                    if os.environ.get("SPF_DUMP_MARGINS"):
+                        print(
+                            f"# margin inst={j} bit={wi} "
+                            f"{margins[-1]:.1f}", file=sys.stderr,
+                        )
                 for inst in range(n_inst):
                     if int(sums[inst]) == expected[inst]:
                         n_ok += 1
@@ -670,6 +712,10 @@ def main():
                     "executor": "wave_machine",
                     "mean_cmux_batch": ws.get("cmux", {}).get("mean_batch"),
                     "mean_cbs_batch": ws.get("cbs", {}).get("mean_batch"),
+                    "noise_margin_bits_worst": round(float(min(margins)), 1),
+                    "noise_margin_bits_median": round(
+                        float(np.median(margins)), 1
+                    ),
                 }
                 print(json.dumps(result))
                 return
@@ -930,7 +976,7 @@ def timed_throughput(step_fn, variants, jax, np):
     return min(times)
 
 
-def _keygen_on_device(p, jax, np, group=None):
+def _keygen_on_device(p, jax, np, group=None, mb_radix=None):
     """Generate DEFAULT_128 keys IN-PROCESS on the current device via the
     u32-limb generators (`ops/encryption_u32.py`) — works on TPU in x32
     mode, so a cold bench run performs no CPU-subprocess keygen
@@ -973,18 +1019,24 @@ def _keygen_on_device(p, jax, np, group=None):
         )
 
     if group is not None:
+        br = mb_radix or p.pbs_radix
+        sfx = "" if br == p.pbs_radix else f"_r{br.count}x{br.radix_log}"
         t0 = _t.time()
         kmb = jax.random.fold_in(key, 4242 + group)
         rows = jax.jit(
             lambda k_, ls, gs: eu.generate_multibit_bsk_u32(
-                k_, ls, gs, glwe, p.pbs_radix, group
+                k_, ls, gs, glwe, br, group
             )
         )(kmb, lwe_sk, glwe_sk)
         save64(
-            os.path.join(KEY_CACHE, f"default128_bskmb{group}_coeff.npy"), rows
+            os.path.join(
+                KEY_CACHE, f"default128_bskmb{group}{sfx}_coeff.npy"
+            ),
+            rows,
         )
         print(
-            f"# on-device multibit bsk (g={group}) in {_t.time()-t0:.1f}s",
+            f"# on-device multibit bsk (g={group}{sfx}) in "
+            f"{_t.time()-t0:.1f}s",
             file=sys.stderr,
         )
         return

@@ -46,6 +46,12 @@ from spf_tpu.params import DEFAULT_128  # noqa: E402
 from spf_tpu.ops import bootstrap_u32 as bu, limb32 as lb  # noqa: E402
 from spf_tpu.ops.mux_eval_u32 import trivial_bit_glwe_limb  # noqa: E402
 
+# all spectra in this script are built with bsk_to_freq_u32's default
+# XLA (use_pallas=False) frequency order; the compute calls MUST use the
+# same backend explicitly — use_pallas=None auto-resolves to the Pallas
+# order on TPU and silently mismatches (advisor r4 finding)
+UP = False
+
 KC = os.environ.get("SPF_TPU_KEY_CACHE",
                     os.path.join(os.path.dirname(os.path.dirname(
                         os.path.abspath(__file__))), ".keys_cache"))
@@ -80,7 +86,7 @@ if args.sel in ("cbs", "cbs1"):
     cts = lb.from_u64_np(np.concatenate([a, bcol[:, None]], axis=1).T)
     t0 = time.time()
     sel_freq = jax.jit(lambda c: cu.circuit_bootstrap_u32(
-        c, bsk_freq, ak_freq, ssk_freq, p))(cts)
+        c, bsk_freq, ak_freq, ssk_freq, p, use_pallas=UP))(cts)
     jax.block_until_ready(sel_freq)
     print(f"# CBS({args.sel}) of {S} selects in {time.time()-t0:.1f}s",
           file=sys.stderr)
@@ -127,8 +133,8 @@ one = trivial_bit_glwe_limb(1, glwe, L)
 onej = jnp.asarray(lane_bits == 1)
 step = jax.jit(lambda acc: tuple(
     jnp.where(onej[None, None, :], x, y) for x, y in zip(
-        bu.cmux_u32(zero, acc, sel_l, glwe, p.cbs_radix, None),
-        bu.cmux_u32(acc, one, sel_l, glwe, p.cbs_radix, None),
+        bu.cmux_u32(zero, acc, sel_l, glwe, p.cbs_radix, UP),
+        bu.cmux_u32(acc, one, sel_l, glwe, p.cbs_radix, UP),
     )))
 
 # initial: encrypted 1-bit per lane equal to the carried bit (use

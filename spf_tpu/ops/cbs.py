@@ -114,7 +114,8 @@ def circuit_bootstrap(
     in the frequency domain."""
     glwe = params.l1_params
     lo_noise_glwe = hi_noise_lwe_to_lo_noise_glwe(
-        ct, bsk_fft, params.l0_params, glwe, params.pbs_radix, params.cbs_radix, be
+        ct, bsk_fft, params.l0_params, glwe, params.cbs_pbs_radix_eff,
+        params.cbs_radix, be
     )
     glev = mod_switch_trace_and_rotate(
         lo_noise_glwe, auto_keys_fft, glwe, params.tr_radix, params.cbs_radix, be

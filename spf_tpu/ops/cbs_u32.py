@@ -228,12 +228,14 @@ def circuit_bootstrap_u32(ct, bsk_freq, auto_keys_freq, ssk_freq,
         group = (ns + 1).bit_length() - 1
         assert (1 << group) - 1 == ns, bsk_freq[0].shape
         lo_noise = blind_rotate_multibit_u32(
-            lut_t, ct_sw, bsk_freq, p.l0_params, glwe, p.pbs_radix, group,
+            lut_t, ct_sw, bsk_freq, p.l0_params, glwe,
+            p.cbs_pbs_radix_eff, group,
             use_pallas,
         )
     else:
         lo_noise = blind_rotate_u32(
-            lut_t, ct_sw, bsk_freq, p.l0_params, glwe, p.pbs_radix, use_pallas,
+            lut_t, ct_sw, bsk_freq, p.l0_params, glwe,
+            p.cbs_pbs_radix_eff, use_pallas,
             phase_rot=phase_rot,
         )
 

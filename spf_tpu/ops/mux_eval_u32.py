@@ -30,9 +30,9 @@ from .bootstrap_u32 import cmux_u32
 
 U32 = jnp.uint32
 
-# Fresh-path bound before a wire is recrypted (see RefreshKeys): the
-# measured per-CMux noise std at DEFAULT_128 is ~2^55.6 (u32 pipeline),
-# so 64 chained CMuxes sit ~2^58.6 against the 2^62 decision boundary.
+# Fresh-path bound before a wire is recrypted (see RefreshKeys);
+# hardware-calibrated against DEFAULT_128's 4x8 `cbs_pbs_radix`
+# (see `fhe_circuit.DEFAULT_MUX_REFRESH_DEPTH`).
 DEFAULT_REFRESH_DEPTH = 64
 
 

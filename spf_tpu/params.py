@@ -89,6 +89,21 @@ class Params:
     pfks_radix: RadixDecomposition
     ss_radix: RadixDecomposition
     tr_radix: RadixDecomposition
+    # Blind-rotation radix for the PBS *inside* circuit bootstrapping
+    # (None -> `pbs_radix`). TPU-specific: the ds32 FFT's MAD rounding
+    # error scales with gadget-digit magnitude, so the 2x16 radix that
+    # is fine for standalone PBS (digits to 2^15, output noise ~2^48,
+    # ample margin at 3-bit messages) leaves CBS-output GGSWs noisy
+    # enough (select-noise sigma ~2^47, hardware-measured r5,
+    # scripts/probe_cmux_noise.py) to squeeze deep CMux trees. A
+    # narrower-digit radix (4x8) cuts that term ~8 bits at ~2x
+    # blind-rotation cost in the CBS only. (The reference needs no such
+    # split: its f64 FFT error is ~2^31, `math/fft/negacyclic/mod.rs`.)
+    cbs_pbs_radix: "RadixDecomposition | None" = None
+
+    @property
+    def cbs_pbs_radix_eff(self) -> RadixDecomposition:
+        return self.cbs_pbs_radix or self.pbs_radix
 
     @property
     def l1_poly_degree(self) -> int:
@@ -115,6 +130,13 @@ DEFAULT_128 = Params(
     ks_radix=RadixDecomposition(count=6, radix_log=2),
     ss_radix=RadixDecomposition(count=15, radix_log=3),
     tr_radix=RadixDecomposition(count=6, radix_log=7),
+    # TPU-specific (r5, hardware-measured): blind-rotate at 4x8 inside
+    # CBS — the ds32 FFT-MAD error scales with digit magnitude, and the
+    # 2x16 digits left CBS-output GGSW select noise at ~2^49.6
+    # (mul16 0/4 at depth 510); 4x8 measures ~2^44.6
+    # (scripts/probe_cmux_noise.py), giving mul16 4/4 with 3.5 bits
+    # worst-case margin at refresh depth 64.
+    cbs_pbs_radix=RadixDecomposition(count=4, radix_log=8),
 )
 
 

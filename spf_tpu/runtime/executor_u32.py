@@ -61,6 +61,10 @@ class U32ComputeKey:
     ksk_planes: jnp.ndarray
     ggsw_zero_freq: tuple
     ggsw_one_freq: tuple
+    # FFT backend whose frequency ORDER the spectra above use
+    # (False = XLA ds32, True = Pallas; the two orders differ, so
+    # executors must compute with the SAME backend — advisor r4)
+    use_pallas: bool = False
 
     @classmethod
     def from_coeff(
@@ -75,6 +79,7 @@ class U32ComputeKey:
             ksk_planes=ksk_to_byte_planes(np.asarray(ksk)),
             ggsw_zero_freq=f(ggsw_zero),
             ggsw_one_freq=f(ggsw_one),
+            use_pallas=use_pallas,
         )
 
 
@@ -128,6 +133,10 @@ class U32CircuitExecutor:
                  whole_circuit: bool = True):
         self.key = key
         self.params = params
+        # default to the key's spectra backend (frequency orders differ
+        # between the XLA and Pallas FFTs — advisor r4 finding)
+        if use_pallas is None:
+            use_pallas = getattr(key, "use_pallas", None)
         self.use_pallas = use_pallas
         self.debug = False
         self.debug_log: list = []

@@ -154,9 +154,13 @@ class Node:
 
 
 # Fresh-path bound before a GLWE mux wire is recrypted through the
-# conversion cycle (see `insert_mux_circuit`). 64 keeps the worst-case
-# tree noise ~2^58.6 against the 2^62 decision boundary at DEFAULT_128
-# (measured per-CMux std ~2^55.6 on the u32 pipeline, diag r5).
+# conversion cycle (see `insert_mux_circuit`). Measured ON HARDWARE
+# (r5, scripts/probe_cmux_noise.py + mul8/mul16 per-bit margins): with
+# the 2x16 CBS blind-rotation radix the CBS-output GGSW select noise
+# was ~2^49.6, leaving deep bits at 0 to -1 bits of margin at bound 64
+# (mul8 6/8); the production fix is DEFAULT_128's 4x8 `cbs_pbs_radix`
+# (select noise ~2^44.6), under which bound 64 measures 3.5 bits of
+# worst-case margin on the depth-510 16x16 multiplier (mul16 4/4).
 DEFAULT_MUX_REFRESH_DEPTH = 64
 
 
@@ -181,10 +185,17 @@ class FheCircuit:
 
     def validate(self) -> None:
         """Check arity/types of every node (≙ `task.rs` validate +
-        `circuit_processor/tests/faults.rs` expectations)."""
+        `circuit_processor/tests/faults.rs` expectations).
+
+        Predecessors are gathered in one O(E) pass — per-node
+        `in_edges` scans are O(N*E), which stalled 60k-node graphs
+        (the mul16 intop circuit) for tens of minutes."""
+        preds: dict[int, list] = {}
+        for s, d, r in self.edges:
+            preds.setdefault(d, []).append((s, r))
         for i, node in enumerate(self.nodes):
             spec = INPUT_SPEC.get(node.op)
-            ins = self.in_edges(i)
+            ins = preds.get(i, [])
             if spec is None:
                 if ins and node.op != FheOp.NOP:
                     raise CircuitError(f"node {i} ({node.op}) takes no inputs")

@@ -84,7 +84,8 @@ class ComputeKey:
         k_bsk, k_ksk, k_ak, k_ssk = jax.random.split(key, 4)
         glwe = params.l1_params
         bsk = generate_bootstrap_key(
-            k_bsk, sk.lwe_0, sk.glwe_1, params.l0_params, glwe, params.pbs_radix, be
+            k_bsk, sk.lwe_0, sk.glwe_1, params.l0_params, glwe,
+            params.cbs_pbs_radix_eff, be
         )
         ksk = ks.generate_lwe_keyswitch_key(
             k_ksk,

@@ -84,10 +84,16 @@ _KIND_OF_OP = {
 # waves chunk at the last entry). A tiny width set keeps the compiled
 # executable set tiny — remote compiles through the axon relay cost
 # ~a minute each, so every extra (width, kind) pair is expensive.
+# "convert" (extract->ks->cbs) and "refresh" (convert->extprod(ONE))
+# are synthetic fused chains produced by the scheduler's contraction
+# pass: one kernel call replaces 3-4 dispatches per conversion wave
+# and keeps conversion traffic from splitting scan-fusable cmux runs.
 _WIDTHS = {
     "cmux": (64, 256),
     "extprod": (64, 256),
     "cbs": (32, 256),
+    "convert": (32, 256),
+    "refresh": (32, 256),
     "extract": (256,),
     "ks": (256,),
     "add": (256,),
@@ -106,8 +112,16 @@ _GROUP_OF_OP = {
     FheOp.MUL_XN: "mulxn",
 }
 
-# groups deferred until nothing else is ready (maximizes their batch)
-_DEFERRED = ("cbs",)
+# groups deferred until nothing else is ready (maximizes their batch);
+# all three contain a full circuit bootstrap
+_DEFERRED = ("cbs", "convert", "refresh")
+
+# output buffer kind per wave group
+_OUT_KIND = {
+    "cmux": _GLWE, "extprod": _GLWE, "add": _GLWE, "not": _GLWE,
+    "mulxn": _GLWE, "extract": _LWE1, "ks": _LWE0, "cbs": _GGSW,
+    "convert": _GGSW, "refresh": _GLWE,
+}
 
 # scan-fusion chunk length for runs of equal-width cmux waves
 _SCAN_R = 8
@@ -146,11 +160,78 @@ def build_schedule(circuit: FheCircuit, collect_outputs: bool = True) -> Schedul
     circuit structure in `WaveMachine`)."""
     circuit.validate()
     n = len(circuit.nodes)
+    ops: list = [nd.op for nd in circuit.nodes]
+    params_l: list = [nd.param for nd in circuit.nodes]
+    edges: list = list(circuit.edges)
+
+    # --- conversion-chain contraction (peephole) ---
+    # extract(h=0) -> keyswitch -> cbs, each intermediate single-use,
+    # collapses to one synthetic "convert" node (glwe -> ggsw); if the
+    # cbs feeds exactly one extprod whose GLWE operand is the ONE
+    # constant (the mid-tree recryption pattern emitted by
+    # `fhe_circuit.insert_mux_circuit`), the whole chain collapses to
+    # "refresh" (glwe -> glwe).
+    epreds: dict[int, list] = {}
+    esuccs: dict[int, list] = {}
+    ncons = [0] * n
+    for ei, (s, d, r) in enumerate(edges):
+        epreds.setdefault(d, []).append((ei, s, r))
+        esuccs.setdefault(s, []).append((ei, d, r))
+        ncons[s] += 1
+    dead_edges: set[int] = set()
+    new_edges: list = []
+    for c in range(n):
+        if ops[c] is not FheOp.CIRCUIT_BOOTSTRAP:
+            continue
+        pc = epreds.get(c, [])
+        if len(pc) != 1:
+            continue
+        ei_ks, ksn, _ = pc[0]
+        if ops[ksn] is not FheOp.KEYSWITCH_L1_L0 or ncons[ksn] != 1:
+            continue
+        pk = epreds.get(ksn, [])
+        if len(pk) != 1:
+            continue
+        ei_ex, exn, _ = pk[0]
+        if (
+            ops[exn] is not FheOp.SAMPLE_EXTRACT
+            or ncons[exn] != 1
+            or (params_l[exn] or 0) != 0
+        ):
+            continue
+        pe = epreds.get(exn, [])
+        if len(pe) != 1:
+            continue
+        ei_src, srcn, _ = pe[0]
+        ops[ksn] = ops[exn] = None
+        dead_edges.update((ei_ks, ei_ex, ei_src))
+        target, top = c, "convert"
+        cons_c = esuccs.get(c, [])
+        if len(cons_c) == 1:
+            ei_ce, e, r_ce = cons_c[0]
+            if ops[e] is FheOp.MULTIPLY_GGSW_GLWE and r_ce == FheEdge.GGSW:
+                pe2 = epreds.get(e, [])
+                glwe_in = [x for x in pe2 if x[2] == FheEdge.GLWE]
+                if (
+                    len(pe2) == 2
+                    and glwe_in
+                    and ops[glwe_in[0][1]] is FheOp.ONE_GLWE1
+                ):
+                    ops[c] = None
+                    dead_edges.update((ei_ce, glwe_in[0][0]))
+                    target, top = e, "refresh"
+        ops[target] = top
+        new_edges.append((srcn, target, FheEdge.UNARY))
+    if dead_edges or new_edges:
+        edges = [
+            e for ei, e in enumerate(edges) if ei not in dead_edges
+        ] + new_edges
+
     preds: dict[int, list] = {}
     rc = [0] * n
     succs: dict[int, list[int]] = {}
     indeg = [0] * n
-    for s, d, r in circuit.edges:
+    for s, d, r in edges:
         preds.setdefault(d, []).append((s, r))
         succs.setdefault(s, []).append(d)
         rc[s] += 1
@@ -196,8 +277,14 @@ def build_schedule(circuit: FheCircuit, collect_outputs: bool = True) -> Schedul
     outputs: list = []
     ready_init: list[int] = []
 
-    for i, node in enumerate(circuit.nodes):
-        op = node.op
+    n_dead = 0
+    for i in range(n):
+        op = ops[i]
+        if op is None:  # contracted away
+            n_dead += 1
+            continue
+        if isinstance(op, str):  # synthetic convert/refresh
+            continue
         if op in (
             FheOp.INPUT_GGSW1, FheOp.INPUT_GLEV1, FheOp.GLEV_CMUX,
             FheOp.SCHEME_SWITCH, FheOp.ZERO_GLEV1, FheOp.ONE_GLEV1,
@@ -223,7 +310,7 @@ def build_schedule(circuit: FheCircuit, collect_outputs: bool = True) -> Schedul
             s = alloc(kind)
             slot[i] = s
             protected[i] = True  # inputs are cheap to keep; never reuse
-            in_names[kind].append(node.param)
+            in_names[kind].append(params_l[i])
             in_slots[kind].append(s)
             ready_init.append(i)
         elif op in (FheOp.RETIRE, FheOp.NOP) and i not in preds:
@@ -248,8 +335,8 @@ def build_schedule(circuit: FheCircuit, collect_outputs: bool = True) -> Schedul
             for nxt in succs.get(cur, []):
                 indeg[nxt] -= 1
                 if indeg[nxt] == 0:
-                    node = circuit.nodes[nxt]
-                    if node.op in (FheOp.RETIRE, FheOp.NOP):
+                    opn = ops[nxt]
+                    if opn in (FheOp.RETIRE, FheOp.NOP):
                         ins = preds.get(nxt, [])
                         if ins:
                             src = resolve(ins[0][0])
@@ -260,15 +347,17 @@ def build_schedule(circuit: FheCircuit, collect_outputs: bool = True) -> Schedul
                             # alias, so rc must live on the source
                             rc[src] += rc[nxt] - 1
                         stack.append(nxt)
-                    elif node.op.value.startswith("output_"):
+                    elif isinstance(opn, str):  # convert / refresh
+                        ready[opn].append(nxt)
+                    elif opn.value.startswith("output_"):
                         src = resolve(preds[nxt][0][0])
                         protected[src] = True
                         outputs.append(
-                            (node.param, _kind_of[src], slot[src])
+                            (params_l[nxt], _kind_of[src], slot[src])
                         )
                         stack.append(nxt)
                     else:
-                        ready[_GROUP_OF_OP[node.op]].append(nxt)
+                        ready[_GROUP_OF_OP[opn]].append(nxt)
 
     def emit(group: str, nids: list[int]):
         """One wave of `group` over `nids` (width already <= cap)."""
@@ -285,6 +374,8 @@ def build_schedule(circuit: FheCircuit, collect_outputs: bool = True) -> Schedul
             "extract": ((FheEdge.UNARY, "in"),),
             "not": ((FheEdge.UNARY, "in"),),
             "mulxn": ((FheEdge.UNARY, "in"),),
+            "convert": ((FheEdge.UNARY, "in"),),
+            "refresh": ((FheEdge.UNARY, "in"),),
         }[group]
         for role, key in roles:
             arr = np.zeros((wp,), dtype=np.int32)
@@ -294,31 +385,30 @@ def build_schedule(circuit: FheCircuit, collect_outputs: bool = True) -> Schedul
             idx[key] = arr
         if group == "extract":
             idx["h"] = np.asarray(
-                [circuit.nodes[nid].param or 0 for nid in nids]
+                [params_l[nid] or 0 for nid in nids]
                 + [0] * (wp - g), dtype=np.int32,
             )
         if group == "mulxn":
             idx["t"] = np.asarray(
-                [circuit.nodes[nid].param or 0 for nid in nids]
+                [params_l[nid] or 0 for nid in nids]
                 + [0] * (wp - g), dtype=np.uint32,
             )
         # consume input refs (may free slots), then allocate outputs
         for nid in nids:
             for src, _ in preds[nid]:
                 release(src)
-        okind = _KIND_OF_OP[circuit.nodes[nids[0]].op]
-        trash = None  # resolved at finalize: S (out of bounds -> drop)
+        okind = _OUT_KIND[group]
         out = np.full((wp,), -1, dtype=np.int32)
         for j, nid in enumerate(nids):
             s = alloc(okind)
             slot[nid] = s
+            _kind_of[nid] = okind
             out[j] = s
         idx["out"] = out
         waves.append(Wave(group, wp, g, idx))
         wave_log.append((group, g))
         for nid in nids:
             complete(nid)
-        del trash
 
     for i in ready_init:
         complete(i)
@@ -345,10 +435,10 @@ def build_schedule(circuit: FheCircuit, collect_outputs: bool = True) -> Schedul
             for c in range(0, len(nids), cap):
                 emit(group, nids[c : c + cap])
 
-    if n_done != n:
+    if n_done != n - n_dead:
         raise CircuitError(
             f"circuit contains a cycle or unreachable nodes "
-            f"({n - n_done} unscheduled)"
+            f"({n - n_dead - n_done} unscheduled)"
         )
 
     slot_counts = {
@@ -357,10 +447,7 @@ def build_schedule(circuit: FheCircuit, collect_outputs: bool = True) -> Schedul
     }
     # padded scatter indices = S (out of bounds, mode="drop")
     for w in waves:
-        okind = {"cmux": _GLWE, "extprod": _GLWE, "add": _GLWE,
-                 "not": _GLWE, "mulxn": _GLWE, "extract": _LWE1,
-                 "ks": _LWE0, "cbs": _GGSW}[w.group]
-        w.idx["out"][w.idx["out"] < 0] = slot_counts[okind]
+        w.idx["out"][w.idx["out"] < 0] = slot_counts[_OUT_KIND[w.group]]
 
     # scan-chunk runs of equal-width cmux waves
     fused: list = []
@@ -453,11 +540,15 @@ class WaveMachine:
     u64 arrays, GLWE [k+1, N] / LWE [n+1])."""
 
     def __init__(self, key, params: Params, use_pallas=None):
-        from ..ops.bootstrap_u32 import _on_tpu
-
         self.key = key
         self.params = params
-        self.up = use_pallas if use_pallas is not None else _on_tpu()
+        # default to the backend that built the KEY's spectra — the two
+        # FFT backends use different frequency orders, so computing
+        # with the other one silently corrupts every external product
+        # (advisor r4 finding)
+        if use_pallas is None:
+            use_pallas = getattr(key, "use_pallas", False)
+        self.up = use_pallas
         self._schedules: dict = {}
         self._kc: dict = {}  # kernel cache
         self.wave_log: list = []
@@ -747,6 +838,57 @@ class WaveMachine:
                 )
 
             f = jax.jit(cb, donate_argnums=(0,))
+        elif kindname == "convert":
+            # fused extract(0) -> keyswitch -> cbs (one dispatch per
+            # conversion wave instead of three)
+            from ..ops.bootstrap_u32 import sample_extract_u32
+
+            def cv(ggsw_buf, gbuf, bsk, ak, ssk, ksk_p, in_i, out_i):
+                x = tuple(jnp.moveaxis(c[in_i], 0, -1) for c in gbuf)
+                l1 = sample_extract_u32(x, 0, glwe)
+                l0 = keyswitch_lwe_u32(
+                    l1, ksk_p, glwe.as_lwe_def(), p.l0_params, p.ks_radix
+                )
+                out = circuit_bootstrap_u32(
+                    l0, bsk, ak, ssk, p, use_pallas=self.up
+                )
+                return tuple(
+                    b.at[out_i].set(jnp.moveaxis(o, -1, 0), mode="drop")
+                    for b, o in zip(ggsw_buf, out)
+                )
+
+            f = jax.jit(cv, donate_argnums=(0,))
+        elif kindname == "refresh":
+            # fused wire recryption: extract -> ks -> cbs -> external
+            # product with trivial ONE (the mid-tree refresh pattern)
+            from ..ops.bootstrap_u32 import sample_extract_u32
+
+            def rf(gbuf, bsk, ak, ssk, ksk_p, in_i, out_i):
+                x = tuple(jnp.moveaxis(c[in_i], 0, -1) for c in gbuf)
+                w = x[0].shape[-1]
+                l1 = sample_extract_u32(x, 0, glwe)
+                l0 = keyswitch_lwe_u32(
+                    l1, ksk_p, glwe.as_lwe_def(), p.l0_params, p.ks_radix
+                )
+                g_f = circuit_bootstrap_u32(
+                    l0, bsk, ak, ssk, p, use_pallas=self.up
+                )
+                one_hi = jnp.zeros(
+                    (glwe.size + 1, glwe.degree, w), dtype=U32
+                ).at[-1, 0, :].set(U32(0x80000000))
+                one = (one_hi, jnp.zeros_like(one_hi))
+                out = inv_limb(
+                    external_product_u32(
+                        one, g_f, glwe, p.cbs_radix, self.up
+                    ),
+                    self.up,
+                )
+                return tuple(
+                    b.at[out_i].set(jnp.moveaxis(o, -1, 0), mode="drop")
+                    for b, o in zip(gbuf, out)
+                )
+
+            f = jax.jit(rf, donate_argnums=(0,))
         elif kindname == "out_gather":
             _, kind, m = key
 
@@ -812,6 +954,20 @@ class WaveMachine:
             bufs[_GGSW] = f(
                 bufs[_GGSW], bufs[_LWE0], self.key.bsk_freq,
                 self.key.ak_freq, self.key.ssk_freq,
+                w.idx["in"], w.idx["out"],
+            )
+        elif w.group == "convert":
+            f = self._kernel(("convert", w.width, sc[_GLWE], sc[_GGSW]))
+            bufs[_GGSW] = f(
+                bufs[_GGSW], bufs[_GLWE], self.key.bsk_freq,
+                self.key.ak_freq, self.key.ssk_freq, self.key.ksk_planes,
+                w.idx["in"], w.idx["out"],
+            )
+        elif w.group == "refresh":
+            f = self._kernel(("refresh", w.width, sc[_GLWE]))
+            bufs[_GLWE] = f(
+                bufs[_GLWE], self.key.bsk_freq, self.key.ak_freq,
+                self.key.ssk_freq, self.key.ksk_planes,
                 w.idx["in"], w.idx["out"],
             )
         else:  # pragma: no cover

@@ -62,6 +62,30 @@ def decrypt_glwe_bit_np(ct: np.ndarray, glwe_sk, glwe: GlweDef) -> int:
     return ((phase >> 63) + ((phase >> 62) & 1)) & 1
 
 
+def encrypt_ggsw_scalar_np(rng, m: int, glwe_sk, glwe: GlweDef, radix):
+    """GGSW of a degree-0 message: rows i < k encrypt GLEV(-s_i * m),
+    row k GLEV(m); GLEV level j scales by q/B^(j+1) — numpy mirror of
+    `ops/encryption.encrypt_ggsw_scalar` (≙ `ggsw_encryption.rs:30-71`).
+    Returns u64 [k+1, count, k+1, N]."""
+    k, n = glwe.size, glwe.degree
+    msg = np.zeros(n, dtype=U64)
+    msg[0] = U64(int(m))
+    rows = []
+    for i in range(k + 1):
+        if i < k:
+            row_msg = U64(0) - negacyclic_mul_binary_np(
+                msg, np.asarray(glwe_sk[i])
+            )
+        else:
+            row_msg = msg
+        levs = []
+        for j in range(radix.count):
+            factor = U64((1 << (64 - radix.radix_log * (j + 1))) % (1 << 64))
+            levs.append(encrypt_glwe_np(rng, row_msg * factor, glwe_sk, glwe))
+        rows.append(np.stack(levs))
+    return np.stack(rows)
+
+
 def encrypt_uint_bits_np(rng, value: int, width: int, glwe_sk,
                          glwe: GlweDef) -> list:
     """LSB-first GLWE bit list (the processor's CtVal layout)."""

@@ -223,6 +223,61 @@ class TestCBSMultibit:
             np.testing.assert_array_equal(np.asarray(dec), b, err_msg=f"bit {i}")
 
 
+    def test_cbs_pbs_radix_split(self, material):
+        """A Params with a DISTINCT `cbs_pbs_radix` blind-rotates at
+        that radix inside CBS (key generated at the same radix) and the
+        GGSW outputs still select correctly — the production DEFAULT_128
+        uses a narrower-digit CBS radix because the ds32 FFT-MAD error
+        scales with digit magnitude (hardware-measured r5)."""
+        import dataclasses
+
+        from spf_tpu.ops import multibit as mb
+
+        lwe_sk, glwe_sk, _, ak_coeff, ssk_coeff = material
+        pp = dataclasses.replace(
+            P, cbs_pbs_radix=RadixDecomposition(count=4, radix_log=8)
+        )
+        glwe = pp.l1_params
+        B = 4
+        bits = [1, 0, 1, 0]
+        cts = jnp.stack(
+            [
+                enc.encrypt_lwe(k(300 + i), torus.encode(b, 1), lwe_sk, LWE)
+                for i, b in enumerate(bits)
+            ]
+        )
+        bsk_mb = mb.generate_multibit_bsk(
+            k(6), lwe_sk, glwe_sk, glwe, pp.cbs_pbs_radix_eff, 2
+        )
+        bsk_mb_u32 = bu.bsk_to_freq_u32(np.asarray(bsk_mb))
+        ak_u32 = bu.bsk_to_freq_u32(np.asarray(ak_coeff))
+        ssk_u32 = bu.bsk_to_freq_u32(np.asarray(ssk_coeff))
+
+        ct_limb = lb.from_u64_np(np.asarray(bt.to_t_layout(cts)))
+        ggsw = jax.jit(
+            lambda c: cu.circuit_bootstrap_u32(
+                c, bsk_mb_u32, ak_u32, ssk_u32, pp, use_pallas=False
+            )
+        )(ct_limb)
+
+        m0 = lb.zeros((glwe.size + 1, glwe.degree, B))
+        one = np.zeros((glwe.size + 1, glwe.degree, 1), dtype=np.uint64)
+        one[-1, :, 0] = np.uint64(1) << np.uint64(63)
+        m1l = lb.from_u64_np(
+            np.broadcast_to(one, (glwe.size + 1, glwe.degree, B))
+        )
+        out = jax.jit(
+            lambda a, b: bu.cmux_u32(
+                a, b, ggsw, glwe, pp.cbs_radix, use_pallas=False
+            )
+        )(m0, m1l)
+        out_u64 = jnp.asarray(lb.to_u64_np(out))
+        for i, b in enumerate(bits):
+            glwe_ct = bt.from_t_layout(out_u64)[i]
+            dec = torus.decode(enc.decrypt_glwe(glwe_ct, glwe_sk, glwe), 1)
+            np.testing.assert_array_equal(np.asarray(dec), b, err_msg=f"bit {i}")
+
+
 class TestMuxEvalU32:
     def test_u4_add_via_cbs_and_mux_eval(self, material):
         """Encrypted 4-bit add end-to-end on the u32 pipeline: L0 input

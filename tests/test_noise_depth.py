@@ -47,9 +47,12 @@ from spf_tpu.utils import host_crypto as hc
 KEY = jax.random.key(314)
 
 
-# Production CBS output GGSW per-coefficient noise, measured on the u32
-# pipeline at DEFAULT_128 with the g=2 multi-bit key (scripts/
-# diag_depth.py r5): log2 std ~= 45.7 in torus units of q=2^64.
+# Simulated CBS-output GGSW per-coefficient noise (log2 std, torus
+# units of q=2^64). Hardware r5 (scripts/probe_cmux_noise.py, TPU):
+# ~2^47.4 with the old 2x16 CBS blind-rotation radix (which shipped
+# mul8 6/8) and ~2^41.6 with DEFAULT_128's production 4x8
+# `cbs_pbs_radix` — 45.7 is therefore a CONSERVATIVE (4 bits above
+# measured) stand-in for the production configuration.
 MEASURED_CBS_GGSW_LOG2_STD = 45.7
 
 

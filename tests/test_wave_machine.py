@@ -102,9 +102,10 @@ class TestWaveMachine:
         _, glwe_sk, _, wm = material
         assert run_binary(wm, glwe_sk, lambda a, b: a + b, 1, 2, 2, 100) == 3
         stats = wm.wave_stats()
-        assert "cbs" in stats and stats["cbs"]["gates"] == 4, stats
-        # greedy scheduling batches all 4 conversions into ONE cbs wave
-        assert stats["cbs"]["waves"] == 1, stats
+        # the 4 input conversions (extract->ks->cbs chains) contract
+        # into ONE fused convert wave
+        assert "convert" in stats and stats["convert"]["gates"] == 4, stats
+        assert stats["convert"]["waves"] == 1, stats
 
     def test_u4_mul_matches_per_wave(self, material):
         _, glwe_sk, ck, wm = material
@@ -158,8 +159,9 @@ class TestWaveMachine:
         got = decrypt_bits(glwe_sk, [res[kk] for kk in out_keys])
         assert got & 0xF == (9 + 5) % 16
         stats = wm.wave_stats()
-        assert stats.get("extprod", {}).get("gates", 0) > 0, (
-            "refresh external products should have executed", stats)
+        # the recryption chains contract into fused refresh waves
+        assert stats.get("refresh", {}).get("gates", 0) > 0, (
+            "refresh waves should have executed", stats)
 
     def test_packed_add(self, material):
         _, glwe_sk, _, wm = material
