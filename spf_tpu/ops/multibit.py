@@ -67,6 +67,22 @@ from .bootstrap_u32 import (
 )
 from .fft_ds32_t import _cadd, _cmul
 
+# Fused Pallas MAD+Horner kernel (`mad_pallas.py`): measured FASTER on
+# hardware at DEFAULT_128 (batch 128: 790 -> 850 PBS/s; batch 256:
+# 1059 -> 1082 PBS/s, 256/256 correct, margins unchanged), so it is
+# the DEFAULT on TPU wherever the tile shapes allow (K and B multiples
+# of 128); SPF_MAD_PALLAS=0 disables, =1 forces the attempt. Read once
+# at import so jit caches stay coherent per process.
+import os as _os
+
+_MAD_PALLAS_ENV = _os.environ.get("SPF_MAD_PALLAS", "")
+_MAD_PALLAS = _MAD_PALLAS_ENV != "0"
+
+
+def _mad_pallas_ok(dfft0) -> bool:
+    k_, b = dfft0.shape[-2], dfft0.shape[-1]
+    return _MAD_PALLAS and k_ % 128 == 0 and b % 128 == 0
+
 
 def n_groups(n0: int, group: int) -> int:
     return -(-n0 // group)
@@ -216,18 +232,31 @@ def blind_rotate_multibit_u32(
         ]
         row = tuple(c[t] for c in bsk_mb_freq)  # [ns, k+1, l, k+1, K]
         if on_tpu:
-            # MAD per subset, phases Horner-factored over the (k+1)-plane
-            # MAD outputs (`_nested_subset_sum`) — measured FASTER than
-            # combining the GGSWs first (G_eff = sum_S c_S*BSK_S then one
-            # MAD is flop-minimal on paper but materializes a
-            # [k+1,l,k+1,K,B] operand: 878 -> 779 PBS/s at g=3, B=256).
-            # Output-side phase is safe on TPU, which performs no FP
-            # contraction (see the note in `bootstrap_u32.blind_rotate_u32`).
-            mads = [
-                freq_mad(dfft, tuple(c[m] for c in row), glwe, radix)
-                for m in range(ns)
-            ]
-            prod_f = _nested_subset_sum(mads, u, group)
+            if _mad_pallas_ok(dfft[0]):
+                # fused VMEM-resident MAD + Horner subset phases
+                # (`mad_pallas.py`): avoids materializing the 2^g - 1
+                # MAD outputs to HBM between the two stages
+                from .mad_pallas import mad_horner_fused
+
+                u_stacked = tuple(
+                    jnp.stack([u[j][c] for j in range(group)])
+                    for c in range(4)
+                )
+                prod_f = mad_horner_fused(dfft, row, u_stacked, group)
+            else:
+                # MAD per subset, phases Horner-factored over the
+                # (k+1)-plane MAD outputs (`_nested_subset_sum`) —
+                # measured FASTER than combining the GGSWs first
+                # (G_eff = sum_S c_S*BSK_S then one MAD is flop-minimal
+                # on paper but materializes a [k+1,l,k+1,K,B] operand:
+                # 878 -> 779 PBS/s at g=3, B=256). Output-side phase is
+                # safe on TPU, which performs no FP contraction (see
+                # the note in `bootstrap_u32.blind_rotate_u32`).
+                mads = [
+                    freq_mad(dfft, tuple(c[m] for c in row), glwe, radix)
+                    for m in range(ns)
+                ]
+                prod_f = _nested_subset_sum(mads, u, group)
         else:
             # XLA:CPU contracts a*b-p into fma inside the MAD-output
             # fusion context, collapsing the ds error-free

@@ -36,3 +36,43 @@ class TestScrambledFrequencyFFT:
         err = (got - ref).astype(np.int64)
         # both paths carry ~2^31-2^37 numeric noise; they must agree within it
         assert np.abs(err).max() < (1 << 40), np.log2(np.abs(err).max())
+
+
+class TestMadPallas:
+    def test_fused_mad_horner_matches_xla(self):
+        """`mad_pallas.mad_horner_fused` (interpret mode) must match
+        freq_mad + _nested_subset_sum on the same operands. CPU-only
+        tolerance: XLA:CPU contracts a*b+c into fma inside the
+        reference path's fusions (perturbing the ds transforms), so
+        the two differ by ~1e-5 relative here; on TPU (no contraction)
+        the paths are exact and the kernel is decrypt-verified by the
+        PBS bench (256/256, margins unchanged)."""
+        from spf_tpu.ops.bootstrap_u32 import freq_mad
+        from spf_tpu.ops.mad_pallas import mad_horner_fused
+        from spf_tpu.ops.multibit import _nested_subset_sum
+        from spf_tpu.params import GlweDef, RadixDecomposition
+
+        glwe = GlweDef(size=1, degree=256, std=1e-16)
+        radix = RadixDecomposition(count=2, radix_log=16)
+        group, ns = 3, 7
+        l, kp1, k_, b = 2, 2, 128, 128
+        rng = np.random.default_rng(42)
+        f = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32))
+        dfft = tuple(f(l, kp1, k_, b) for _ in range(4))
+        row = tuple(f(ns, kp1, l, kp1, k_) for _ in range(4))
+        u_list = [tuple(f(k_, b) for _ in range(4)) for _ in range(group)]
+        u_st = tuple(
+            jnp.stack([u_list[j][c] for j in range(group)])
+            for c in range(4)
+        )
+        mads = [
+            freq_mad(dfft, tuple(c[m] for c in row), glwe, radix)
+            for m in range(ns)
+        ]
+        ref = _nested_subset_sum(mads, u_list, group)
+        got = mad_horner_fused(dfft, row, u_st, group, interpret=True)
+        for i, (a, bb) in enumerate(zip(got, ref)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(bb), rtol=1e-2, atol=1e-3,
+                err_msg=f"component {i}",
+            )
