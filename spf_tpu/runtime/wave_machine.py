@@ -414,10 +414,33 @@ def build_schedule(circuit: FheCircuit, collect_outputs: bool = True) -> Schedul
         complete(i)
     # priority order: cmux first and RESTART after each emission, so
     # consecutive cmux waves form long runs (scan fusion needs
-    # consecutive equal-width waves); CBS is deferred until nothing
-    # else is ready, maximizing its batch
+    # consecutive equal-width waves); CBS-class groups are deferred
+    # until nothing else is ready, maximizing their batch. EXCEPT:
+    # when the cmux frontier is NARROW and plenty of conversions are
+    # pending, run the conversions first — their completion unlocks
+    # whole subtrees at once, merging the narrow post-refresh frontiers
+    # into wider waves (mul-class circuits fragment into per-tree
+    # frontiers across refresh boundaries otherwise).
     _PRIORITY = [g for g in _WIDTHS if g not in _DEFERRED]
+
+    def emit_deferred() -> bool:
+        pending = [g for g in _DEFERRED if ready[g]]
+        if not pending:
+            return False
+        group = max(pending, key=lambda g: len(ready[g]))
+        nids, ready[group] = ready[group], []
+        cap = _WIDTHS[group][-1]
+        for c in range(0, len(nids), cap):
+            emit(group, nids[c : c + cap])
+        return True
+
     while True:
+        if (
+            0 < len(ready["cmux"]) < 64
+            and sum(len(ready[g]) for g in _DEFERRED) >= 32
+        ):
+            emit_deferred()
+            continue
         for group in _PRIORITY:
             if ready[group]:
                 nids, ready[group] = ready[group], []
@@ -426,14 +449,8 @@ def build_schedule(circuit: FheCircuit, collect_outputs: bool = True) -> Schedul
                     emit(group, nids[c : c + cap])
                 break
         else:
-            pending = [g for g in _DEFERRED if ready[g]]
-            if not pending:
+            if not emit_deferred():
                 break
-            group = max(pending, key=lambda g: len(ready[g]))
-            nids, ready[group] = ready[group], []
-            cap = _WIDTHS[group][-1]
-            for c in range(0, len(nids), cap):
-                emit(group, nids[c : c + cap])
 
     if n_done != n - n_dead:
         raise CircuitError(
